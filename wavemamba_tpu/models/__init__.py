@@ -1,0 +1,47 @@
+"""Model factory. The reference resolves YAML `type:` strings through a
+decorator registry (`basicsr/utils/registry.py`); here the registry is an
+explicit static map — same extension point, no import-side effects."""
+
+from wavemamba_tpu.models.wavemamba import (
+    WaveMambaConfig,
+    init_wavemamba,
+    param_count,
+    wavemamba_apply,
+)
+
+_ARCHS = {}
+
+
+def register_arch(name):
+    def deco(fn):
+        _ARCHS[name] = fn
+        return fn
+
+    return deco
+
+
+def build_network(opt: dict):
+    """opt: dict with 'type' plus kwargs (mirrors `basicsr/archs/__init__.py:19`)."""
+    opt = dict(opt)
+    name = opt.pop("type")
+    if name not in _ARCHS:
+        raise KeyError(f"Unknown arch type {name!r}; known: {sorted(_ARCHS)}")
+    return _ARCHS[name](**opt)
+
+
+@register_arch("WaveMamba")
+def _build_wavemamba(**kw):
+    known = {f.name for f in __import__("dataclasses").fields(WaveMambaConfig)}
+    cfg = WaveMambaConfig(**{k: tuple(v) if isinstance(v, list) else v
+                             for k, v in kw.items() if k in known})
+    return cfg
+
+
+__all__ = [
+    "WaveMambaConfig",
+    "init_wavemamba",
+    "wavemamba_apply",
+    "param_count",
+    "build_network",
+    "register_arch",
+]

@@ -1,0 +1,125 @@
+"""Minimal NHWC neural-net primitives over explicit parameter pytrees.
+
+Parameters are plain dicts: convs/linears are ``{"w": ..., "b": ...}``
+(bias key absent when the layer has none), norms are ``{"g": ..., "b": ...}``.
+Conv kernels are HWIO (TPU-native); the checkpoint converter transposes the
+reference's OIHW/`(out,in)` layouts (see `convert/torch_import.py`).
+
+Everything is a pure function; XLA fuses the elementwise pre/post-ops into
+the surrounding convolutions/matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gelu(x):
+    """Exact (erf) GELU — torch's F.gelu default, NOT jax's tanh approx."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def conv2d(params, x, stride=1, padding="SAME", groups=1):
+    """NHWC conv. params['w']: (kh, kw, in/groups, out)."""
+    w = params["w"]
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=dn, feature_group_count=groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def linear(params, x):
+    """params['w']: (in, out); x: (..., in)."""
+    y = jnp.matmul(x, params["w"].astype(x.dtype), precision=lax.Precision.HIGHEST)
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def layer_norm(params, x, eps=1e-5):
+    """LayerNorm over the last axis, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y * params["g"].astype(jnp.float32) + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def prelu(params, x):
+    """PReLU with a single shared slope (torch nn.PReLU() default)."""
+    a = params["a"].astype(x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """torch F.normalize(p=2): x / max(||x||_2, eps)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def pixel_unshuffle(x, r):
+    """NHWC space-to-depth matching torch PixelUnshuffle channel order.
+
+    torch (NCHW): out channel index = c * r*r + (i * r + j) for row offset i,
+    col offset j. We reproduce that exact ordering in NHWC.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H/r, W/r, C, r, r)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def pixel_shuffle(x, r):
+    """Inverse of pixel_unshuffle (torch PixelShuffle channel order)."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, H, r, W, r, C)
+    return x.reshape(b, h * r, w * r, c)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults used by the reference).
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_conv2d(key, kh, kw, cin, cout, groups=1, bias=True, dtype=jnp.float32):
+    """torch nn.Conv2d default init (kaiming_uniform a=sqrt(5) == U(+-1/sqrt(fan_in)))."""
+    k1, k2 = jax.random.split(key)
+    fan_in = (cin // groups) * kh * kw
+    p = {"w": _fan_in_uniform(k1, (kh, kw, cin // groups, cout), fan_in, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (cout,), fan_in, dtype)
+    return p
+
+
+def init_linear(key, cin, cout, bias=True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    p = {"w": _fan_in_uniform(k1, (cin, cout), cin, dtype)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (cout,), cin, dtype)
+    return p
+
+
+def init_layer_norm(c, dtype=jnp.float32):
+    return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
