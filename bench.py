@@ -1,0 +1,68 @@
+"""Headline benchmark: WaveMamba (shipped config) 1080p single-image
+inference latency on one TPU chip.
+
+Baseline: the reference reports 0.402 s for a 1920x1080 forward on a CUDA
+GPU (`ACMMM2024Rebuttal_revised1.pdf` Table 2; BASELINE.md). vs_baseline is
+baseline_seconds / our_seconds (>1 means faster than the reference GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_1080P_S = 0.402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavemamba_tpu.models.wavemamba import (
+        WaveMambaConfig,
+        init_wavemamba,
+        wavemamba_apply,
+    )
+
+    scan_impl = os.environ.get("WM_SCAN_IMPL", "chunked")
+    cfg = WaveMambaConfig(scan_impl=scan_impl)
+    params = init_wavemamba(jax.random.PRNGKey(0), cfg)
+    fwd = jax.jit(lambda p, x: wavemamba_apply(p, cfg, x))
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 1080, 1920, 3), jnp.float32)
+
+    def run_sync():
+        # NOTE: on the tunneled axon platform block_until_ready() returns
+        # before execution finishes; a host transfer of a reduction is the
+        # only reliable fence. The jnp.sum adds ~negligible device time.
+        return float(jnp.sum(fwd(params, x)))
+
+    run_sync()  # compile
+    run_sync()  # warmup
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    latency = float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"wavemamba_1080p_latency({scan_impl})",
+                "value": round(latency, 5),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_1080P_S / latency, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Paired LQ/GT dataset (`basicsr/data/paired_image_dataset.py:18-134`),
+NHWC/numpy native (no torch).
+
+Train phase: reflect-pad to gt_size, paired random crop, optional 8-way
+dihedral augmentation (`geometric_augs`), RGB float32 HWC output.
+Val/test phase: full images. Items: {'lq', 'gt', 'lq_path', 'gt_path'}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wavemamba_tpu.data.data_util import (
+    paired_paths_from_folder,
+    paired_paths_from_lmdb,
+    paired_paths_from_meta_info_file,
+)
+from wavemamba_tpu.data.transforms import paired_random_crop, random_augmentation
+from wavemamba_tpu.utils.file_client import FileClient
+from wavemamba_tpu.utils.img_util import imfrombytes, padding
+
+
+class PairedImageDataset:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.file_client = None
+        self.io_backend_opt = dict(opt.get("io_backend", {"type": "disk"}))
+        self.mean = opt.get("mean")
+        self.std = opt.get("std")
+        self.gt_folder, self.lq_folder = opt["dataroot_gt"], opt["dataroot_lq"]
+        self.filename_tmpl = opt.get("filename_tmpl", "{}")
+
+        if self.io_backend_opt["type"] == "lmdb":
+            self.io_backend_opt["db_paths"] = [self.lq_folder, self.gt_folder]
+            self.io_backend_opt["client_keys"] = ["lq", "gt"]
+            self.paths = paired_paths_from_lmdb(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"]
+            )
+        elif opt.get("meta_info_file") is not None:
+            self.paths = paired_paths_from_meta_info_file(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"],
+                opt["meta_info_file"], self.filename_tmpl,
+            )
+        else:
+            self.paths = paired_paths_from_folder(
+                [self.lq_folder, self.gt_folder], ["lq", "gt"], self.filename_tmpl
+            )
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index):
+        if self.file_client is None:
+            backend = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend.pop("type"), **backend)
+        scale = self.opt.get("scale", 1)
+
+        gt_path = self.paths[index]["gt_path"]
+        lq_path = self.paths[index]["lq_path"]
+        img_gt = imfrombytes(self.file_client.get(gt_path, "gt"), float32=True)
+        img_lq = imfrombytes(self.file_client.get(lq_path, "lq"), float32=True)
+
+        if self.opt.get("phase") == "train":
+            gt_size = self.opt["gt_size"]
+            img_gt, img_lq = padding(img_gt, img_lq, gt_size)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, gt_size, scale, gt_path)
+            if self.opt.get("geometric_augs"):
+                img_gt, img_lq = random_augmentation(img_gt, img_lq)
+
+        # BGR -> RGB, HWC float32 (NHWC model layout; no CHW transpose).
+        img_gt = np.ascontiguousarray(img_gt[..., ::-1], np.float32)
+        img_lq = np.ascontiguousarray(img_lq[..., ::-1], np.float32)
+        if self.mean is not None or self.std is not None:
+            mean = np.asarray(self.mean or 0.0, np.float32)
+            std = np.asarray(self.std or 1.0, np.float32)
+            img_lq = (img_lq - mean) / std
+            img_gt = (img_gt - mean) / std
+        return {"lq": img_lq, "gt": img_gt, "lq_path": lq_path, "gt_path": gt_path}
+
+
+class SingleImageDataset:
+    """LQ-only dataset for blind testing (`single_image_dataset.py:11-69`)."""
+
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.file_client = None
+        self.io_backend_opt = dict(opt.get("io_backend", {"type": "disk"}))
+        self.mean = opt.get("mean")
+        self.std = opt.get("std")
+        self.lq_folder = opt["dataroot_lq"]
+
+        if self.io_backend_opt["type"] == "lmdb":
+            from wavemamba_tpu.data.data_util import paths_from_lmdb
+
+            self.io_backend_opt["db_paths"] = [self.lq_folder]
+            self.io_backend_opt["client_keys"] = ["lq"]
+            self.paths = paths_from_lmdb(self.lq_folder)
+        elif opt.get("meta_info_file") is not None:
+            import os
+
+            with open(opt["meta_info_file"], "r") as fin:
+                self.paths = [
+                    os.path.join(self.lq_folder, line.rstrip().split(" ")[0]) for line in fin
+                ]
+        else:
+            from wavemamba_tpu.data.data_util import paths_from_folder
+
+            self.paths = paths_from_folder(self.lq_folder)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index):
+        if self.file_client is None:
+            backend = dict(self.io_backend_opt)
+            self.file_client = FileClient(backend.pop("type"), **backend)
+        lq_path = self.paths[index]
+        img_lq = imfrombytes(self.file_client.get(lq_path, "lq"), float32=True)
+        img_lq = np.ascontiguousarray(img_lq[..., ::-1], np.float32)
+        if self.mean is not None or self.std is not None:
+            mean = np.asarray(self.mean or 0.0, np.float32)
+            std = np.asarray(self.std or 1.0, np.float32)
+            img_lq = (img_lq - mean) / std
+        return {"lq": img_lq, "lq_path": lq_path}

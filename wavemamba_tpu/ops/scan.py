@@ -131,7 +131,30 @@ def selective_scan(u, delta, A, Bs, Cs, D_skip, delta_bias, impl="chunked", chun
     if impl == "chunked":
         return selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=chunk)
     if impl == "pallas":
-        from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas
-
-        return selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias)
+        return _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias)
     raise ValueError(f"unknown selective_scan impl: {impl!r}")
+
+
+# Pallas forward with a differentiable fallback backward: the VJP replays the
+# chunked implementation (numerically identical recurrence) and
+# differentiates it. Gives kernel-speed forward everywhere; a dedicated
+# backward kernel can swap in behind the same interface.
+@jax.custom_vjp
+def _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias):
+    from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas
+
+    return selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias)
+
+
+def _scan_pallas_fwd(u, delta, A, Bs, Cs, D_skip, delta_bias):
+    return _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias), (
+        u, delta, A, Bs, Cs, D_skip, delta_bias,
+    )
+
+
+def _scan_pallas_bwd(res, g):
+    _, vjp = jax.vjp(selective_scan_chunked, *res)
+    return vjp(g)
+
+
+_scan_pallas_diff.defvjp(_scan_pallas_fwd, _scan_pallas_bwd)

@@ -1,0 +1,223 @@
+"""Model runner — the train/eval logic layer (reference `basicsr/models/`:
+`FeMaSRModel` + `BaseModel`), re-designed around pure jitted steps.
+
+Responsibilities (reference citations):
+  * build network + losses + optimizer from the YAML opt
+    (`femasr_model.py:21-141`)
+  * feed data / optimize (L1 + FFT, `femasr_model.py:157-185`) — here a
+    single donated jit step (see train/trainer.py)
+  * validation with config-declared metrics, best-metric tracking and
+    best-checkpoint snapshot (`femasr_model.py:206-318`, `base_model.py:50-83`)
+  * checkpoint save/resume (`base_model.py:214-374`) via train/checkpoint.py
+  * EMA (`base_model.py:85-92`) inside the jit step
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavemamba_tpu.metrics import METRIC_DIRECTION, build_metric
+from wavemamba_tpu.models import build_network
+from wavemamba_tpu.models.wavemamba import (
+    init_wavemamba,
+    pad_to_multiple,
+    wavemamba_apply,
+)
+from wavemamba_tpu.train.checkpoint import (
+    find_resume_state,
+    load_network,
+    restore_training_state,
+    save_network,
+    save_training_state,
+)
+from wavemamba_tpu.train.trainer import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+)
+from wavemamba_tpu.utils.img_util import batch2img, imwrite
+from wavemamba_tpu.utils.logger import get_root_logger
+
+
+def train_config_from_opt(opt: dict) -> TrainConfig:
+    t = opt.get("train", {})
+    optim = t.get("optim_g", {})
+    sched = dict(t.get("scheduler", {})) or None
+    fft_w = 0.0
+    if t.get("fft_opt"):
+        fft_w = t["fft_opt"].get("loss_weight", 0.1)
+    pix_w = (t.get("pixel_opt") or {}).get("loss_weight", 1.0)
+    return TrainConfig(
+        lr=optim.get("lr", 5e-4),
+        weight_decay=optim.get("weight_decay", 1e-3),
+        betas=tuple(optim.get("betas", (0.9, 0.99))),
+        scheduler=sched,
+        pixel_weight=pix_w,
+        fft_weight=fft_w,
+        ema_decay=t.get("ema_decay", 0.0),
+        warmup_iter=t.get("warmup_iter", -1),
+    )
+
+
+class RestorationModel:
+    """The `model_type: FeMaSRModel` equivalent."""
+
+    def __init__(self, opt: dict, mesh=None):
+        self.opt = opt
+        self.mesh = mesh
+        self.logger = get_root_logger()
+        self.cfg = build_network(opt["network_g"])
+        self.is_train = opt.get("is_train", False)
+
+        seed = opt.get("manual_seed", 0) or 0
+        self.params = init_wavemamba(jax.random.PRNGKey(seed), self.cfg)
+
+        pretrain = opt.get("path", {}).get("pretrain_network_g")
+        if pretrain:
+            self.logger.info(f"Loading net_g from {pretrain}")
+            self.params = load_network(pretrain, template=self.params)
+
+        self.state = None
+        self.train_step = None
+        if self.is_train:
+            self.tcfg = train_config_from_opt(opt)
+            self.state = create_train_state(self.params, self.tcfg)
+            self.train_step = make_train_step(self.cfg, self.tcfg, mesh)
+            self.params = None  # lives inside state now (donated per step)
+
+        self._eval_fns = {}
+        self.best_metric_results = {}
+
+    # ------------------------------------------------------------------ train
+    def optimize_parameters(self, batch):
+        """One jitted step; returns host metrics dict."""
+        lq = jnp.asarray(batch["lq"]) if isinstance(batch["lq"], np.ndarray) else batch["lq"]
+        gt = jnp.asarray(batch["gt"]) if isinstance(batch["gt"], np.ndarray) else batch["gt"]
+        self.state, metrics = self.train_step(self.state, lq, gt)
+        return metrics
+
+    def current_params(self, use_ema=True):
+        if self.state is None:
+            return self.params
+        if use_ema and "ema" in self.state:
+            return self.state["ema"]
+        return self.state["params"]
+
+    def current_lr(self, step=None):
+        from wavemamba_tpu.train.trainer import make_optimizer
+
+        _, lr = make_optimizer(self.tcfg)
+        s = int(self.state["step"]) if step is None else step
+        return float(lr(s)) if callable(lr) else float(lr)
+
+    # ------------------------------------------------------------------- eval
+    def _eval_fn(self, shape):
+        if shape not in self._eval_fns:
+            fn = jax.jit(lambda p, x: wavemamba_apply(p, self.cfg, x))
+            self._eval_fns[shape] = fn
+        return self._eval_fns[shape]
+
+    def test(self, lq_np, pad_multiple=8, tile=None):
+        """Whole-image (or tiled, see models/tiling.py) restoration.
+
+        lq_np: (1, H, W, 3) float32 RGB. Returns same-shape np array.
+        Dispatch mirrors `femasr_model.py:187-199` (tile only for huge
+        inputs — the reference uses an 8000^2 threshold).
+        """
+        params = self.current_params()
+        h, w = lq_np.shape[1:3]
+        if tile or (h * w >= 8000 * 8000):
+            from wavemamba_tpu.models.tiling import tiled_apply
+
+            return tiled_apply(
+                lambda x: self._eval_fn(None)(params, x), lq_np,
+                tile_size=(tile or {}).get("tile_size", 240),
+                tile_pad=(tile or {}).get("tile_pad", 16),
+                pad_multiple=pad_multiple,
+            )
+        x, oh, ow = pad_to_multiple(jnp.asarray(lq_np), pad_multiple)
+        out = self._eval_fn(tuple(x.shape))(params, x)
+        return np.asarray(out)[:, :oh, :ow]
+
+    def validation(self, dataloader, current_iter, save_img=False):
+        """Non-dist validation loop (`femasr_model.py:206-303`)."""
+        opt_val = self.opt.get("val", {})
+        metric_opts = opt_val.get("metrics") or {}
+        metrics = {}
+        for name, mopt in metric_opts.items():
+            mopt = dict(mopt)
+            try:
+                metrics[name] = build_metric(mopt)
+            except (ValueError, KeyError) as e:
+                self.logger.warning(f"metric {name} skipped: {e}")
+        results = {name: [] for name in metrics}
+        t0 = time.time()
+        for batch in dataloader:
+            lq = batch["lq"]
+            gt = batch.get("gt")
+            out = self.test(lq)
+            sr_img = batch2img(out)
+            if save_img:
+                img_name = os.path.splitext(os.path.basename(batch["lq_path"][0]))[0]
+                save_path = os.path.join(
+                    self.opt["path"]["visualization"], f"{img_name}_{current_iter}.png"
+                )
+                imwrite(sr_img, save_path)
+            if gt is not None:
+                gt_img = batch2img(gt)
+                for name, fn in metrics.items():
+                    results[name].append(fn(sr_img, gt_img))
+        avg = {name: float(np.mean(v)) for name, v in results.items() if v}
+        self.logger.info(
+            f"Validation @ iter {current_iter} ({time.time()-t0:.1f}s): "
+            + ", ".join(f"{k}: {v:.4f}" for k, v in avg.items())
+        )
+        # best-metric tracking (key_metric, `femasr_model.py:270-297`)
+        key_metric = opt_val.get("key_metric")
+        improved = False
+        if key_metric and key_metric in avg:
+            higher_better = METRIC_DIRECTION.get(key_metric, True)
+            best = self.best_metric_results.get(key_metric)
+            if best is None or (avg[key_metric] > best if higher_better else avg[key_metric] < best):
+                self.best_metric_results[key_metric] = avg[key_metric]
+                improved = True
+        return avg, improved
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self, current_iter):
+        models_dir = self.opt["path"]["models"]
+        save_network(self.current_params(use_ema=False), models_dir, "net_g", current_iter)
+        if self.state is not None and "ema" in self.state:
+            save_network(self.state["ema"], models_dir, "net_g_ema", current_iter)
+        if self.state is not None:
+            save_training_state(
+                self.state, self.opt["path"]["training_states"], current_iter
+            )
+
+    def save_best(self):
+        save_network(
+            self.current_params(use_ema=False), self.opt["path"]["models"], "net_g_best", -1
+        )
+
+    def resume(self):
+        """Auto-resume from the highest training state (`train.py:99-120`)."""
+        states_dir = self.opt["path"]["training_states"]
+        path = find_resume_state(states_dir)
+        if path is None:
+            return 0
+        self.logger.info(f"Resuming from {path}")
+        self.state = restore_training_state(path, self.state)
+        return int(self.state["step"])
+
+
+def build_model(opt: dict, mesh=None):
+    """`model_type` dispatch (`basicsr/models/__init__.py:19`)."""
+    mtype = opt.get("model_type", "FeMaSRModel")
+    if mtype in ("FeMaSRModel", "UHDModel", "RestorationModel"):
+        return RestorationModel(opt, mesh=mesh)
+    raise KeyError(f"Unknown model_type {mtype!r}")
