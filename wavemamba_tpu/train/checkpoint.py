@@ -49,9 +49,18 @@ def load_network(path: str, template=None):
 
         return load_wavemamba_checkpoint(path)
     ckptr = _checkpointer()
+    path = os.path.abspath(path)
     if template is not None:
-        return ckptr.restore(os.path.abspath(path), item=template)
-    return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(path, item=template)
+    # No template: rebuild the tree structure from checkpoint metadata and
+    # let orbax read sharding info from the sharding file.
+    import jax
+
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=None), meta_tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def save_training_state(state, states_dir: str, current_iter: int) -> str:
