@@ -100,3 +100,16 @@ def test_lpips_graph_shapes():
     assert d.shape == (2,)
     assert np.isfinite(np.asarray(d)).all()
     np.testing.assert_allclose(np.asarray(lpips(params, x, x)), 0.0, atol=1e-6)
+
+
+def test_matlab_imresize_parity(ref_metrics):
+    import torch
+
+    from wavemamba_tpu.utils.matlab import imresize
+
+    rs = np.random.RandomState(3)
+    img = rs.rand(37, 45, 3)
+    for scale in [0.5, 0.25, 2.0, 1.0 / 3.0]:
+        theirs = ref_metrics.imresize(torch.from_numpy(img.transpose(2, 0, 1)), scale, True)
+        mine = imresize(img, scale, True)
+        np.testing.assert_allclose(mine, theirs.numpy().transpose(1, 2, 0), atol=1e-6)

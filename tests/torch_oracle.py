@@ -111,16 +111,21 @@ def _install_stubs():
     sys.modules["basicsr.utils.registry"] = basicsr_registry
 
 
-_ARCH_MODULE = None
+_MODULES: dict = {}
+
+
+def load_reference_module(path: str):
+    """Import a reference module by path with stubbed deps (cached)."""
+    if path not in _MODULES:
+        _install_stubs()
+        name = "ref_" + os.path.splitext(os.path.basename(path))[0]
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _MODULES[path] = mod
+    return _MODULES[path]
 
 
 def load_reference_arch():
     """Import /root/reference wavemamba_arch.py with stubbed deps (cached)."""
-    global _ARCH_MODULE
-    if _ARCH_MODULE is None:
-        _install_stubs()
-        spec = importlib.util.spec_from_file_location("ref_wavemamba_arch", REFERENCE_ARCH)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        _ARCH_MODULE = mod
-    return _ARCH_MODULE
+    return load_reference_module(REFERENCE_ARCH)

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 _NORM_PARENTS = {"ln_1", "ln_2", "out_norm", "norm1", "norm2", "LayerNorm"}
-_LIST_CONTAINERS = {"l_blk", "h_blk", "fcs", "project_in", "project_out"}
+_LIST_CONTAINERS = {"l_blk", "h_blk", "fcs", "project_in", "project_out", "feats"}
 
 
 def load_pth(path: str, param_key: str = "params") -> dict:

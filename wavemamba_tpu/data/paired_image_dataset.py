@@ -57,6 +57,35 @@ class PairedImageDataset:
 
         gt_path = self.paths[index]["gt_path"]
         lq_path = self.paths[index]["lq_path"]
+
+        # Native fast path (train, scale 1): fused C++ crop+augment+convert
+        # over the decoded uint8 images (native/wavedata.cc).
+        if (
+            self.opt.get("phase") == "train"
+            and scale == 1
+            and self.opt.get("use_native", True)
+            and self.mean is None
+            and self.std is None
+        ):
+            from wavemamba_tpu.data import native
+
+            if native.available():
+                import random as _random
+
+                gt_u8 = imfrombytes(self.file_client.get(gt_path, "gt"))
+                lq_u8 = imfrombytes(self.file_client.get(lq_path, "lq"))
+                gt_size = self.opt["gt_size"]
+                if gt_u8.shape[0] < gt_size or gt_u8.shape[1] < gt_size:
+                    gt_u8, lq_u8 = padding(gt_u8, lq_u8, gt_size)
+                top = _random.randint(0, gt_u8.shape[0] - gt_size)
+                left = _random.randint(0, gt_u8.shape[1] - gt_size)
+                mode = _random.randint(1, 7) if self.opt.get("geometric_augs") else 0
+                img_gt, img_lq = native.paired_crop_augment(
+                    gt_u8, lq_u8, top, left, gt_size, mode
+                )
+                return {"lq": img_lq, "gt": img_gt, "lq_path": lq_path,
+                        "gt_path": gt_path}
+
         img_gt = imfrombytes(self.file_client.get(gt_path, "gt"), float32=True)
         img_lq = imfrombytes(self.file_client.get(lq_path, "lq"), float32=True)
 

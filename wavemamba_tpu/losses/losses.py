@@ -218,3 +218,25 @@ def ssim(pred, target, window_size=11, sigma=1.5):
 def ssim_loss(pred, target, loss_weight=1.0):
     """1 - SSIM, as used by UHDModel (`models/uhdfour_model.py:164-175`)."""
     return loss_weight * (1.0 - ssim(pred, target))
+
+
+def uhd_loss(out, out8, gt, fft_weight=0.0):
+    """UHDModel composite loss (`basicsr/models/uhdfour_model.py:157-186`):
+    L1(out, gt) + 0.0004*(1 - SSIM(out, gt)) + 0.1*L1(out8, gt downscaled
+    1/8 bilinear) [+ FFT]. out/out8/gt: NHWC."""
+    import jax.image
+
+    gt8 = jax.image.resize(
+        gt, (gt.shape[0], gt.shape[1] // 8, gt.shape[2] // 8, gt.shape[3]), "bilinear"
+    )
+    l_l1 = l1_loss(out, gt)
+    l_l1_8 = l1_loss(out8, gt8)
+    l_ssim = 1.0 - ssim(out, gt)
+    total = l_l1 + 0.0004 * l_ssim + 0.1 * l_l1_8
+    metrics = {"l_l1": l_l1, "l_ssim": l_ssim, "l_l1_8": l_l1_8}
+    if fft_weight:
+        l_fft = fft_loss(out, gt, loss_weight=fft_weight)
+        total = total + l_fft
+        metrics["l_freq"] = l_fft
+    metrics["l_pix"] = total
+    return total, metrics

@@ -37,6 +37,14 @@ def _build_wavemamba(**kw):
     return cfg
 
 
+@register_arch("ART")
+def _build_art(**kw):
+    from wavemamba_tpu.models.art import ARTConfig
+
+    known = {f.name for f in __import__("dataclasses").fields(ARTConfig)}
+    return ARTConfig(**{k: v for k, v in kw.items() if k in known})
+
+
 __all__ = [
     "WaveMambaConfig",
     "init_wavemamba",
