@@ -1,0 +1,68 @@
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavemamba_tpu.ops.arch_util import flow_warp, trunc_normal
+from wavemamba_tpu.ops.diffjpeg import diff_jpeg
+from wavemamba_tpu.utils.img_process_util import filter2d, usm_sharp
+
+
+def test_diffjpeg_quality_monotone_and_close_to_cv2():
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 64, 64, 3).astype(np.float32)
+    out95 = np.asarray(diff_jpeg(jnp.asarray(img), 95))
+    out10 = np.asarray(diff_jpeg(jnp.asarray(img), 10))
+    err95 = np.abs(out95 - img).mean()
+    err10 = np.abs(out10 - img).mean()
+    assert err95 < err10  # lower quality distorts more
+    # vs real cv2 JPEG at quality 50
+    u8 = (img[0, :, :, ::-1] * 255).round().astype(np.uint8)  # BGR for cv2
+    ok, enc = cv2.imencode(".jpg", u8, [cv2.IMWRITE_JPEG_QUALITY, 50])
+    dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32) / 255.0
+    ours = np.asarray(diff_jpeg(jnp.asarray(img), 50))[0]
+    # both should be similar distortions of the source
+    assert np.abs(ours - dec).mean() < 0.9 * np.abs(img[0] - dec).mean() + 0.02
+
+
+def test_diffjpeg_differentiable():
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.rand(1, 16, 16, 3), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(diff_jpeg(x, 50) ** 2))(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_flow_warp_identity_and_shift():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(1, 8, 10, 2), jnp.float32)
+    zero = jnp.zeros((1, 8, 10, 2))
+    np.testing.assert_allclose(np.asarray(flow_warp(x, zero)), np.asarray(x), atol=1e-6)
+    # flow dx=+1 samples from the right neighbour
+    dx = zero.at[..., 0].set(1.0)
+    out = np.asarray(flow_warp(x, dx))
+    np.testing.assert_allclose(out[:, :, :-1], np.asarray(x)[:, :, 1:], atol=1e-6)
+
+
+def test_filter2d_matches_cv2():
+    rs = np.random.RandomState(3)
+    img = rs.rand(6, 7, 3).astype(np.float32)
+    k = rs.rand(5, 5).astype(np.float32)
+    k /= k.sum()
+    ours = np.asarray(filter2d(jnp.asarray(img[None]), jnp.asarray(k)))[0]
+    ref = cv2.filter2D(img, -1, k, borderType=cv2.BORDER_CONSTANT)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_usm_sharp_runs():
+    rs = np.random.RandomState(4)
+    img = rs.rand(32, 32, 3).astype(np.float32)
+    out = usm_sharp(img)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+
+
+def test_trunc_normal_bounds():
+    x = trunc_normal(jax.random.PRNGKey(0), (10000,), std=0.5)
+    assert float(x.min()) >= -2.0 and float(x.max()) <= 2.0
+    assert abs(float(x.mean())) < 0.05

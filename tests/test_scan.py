@@ -76,3 +76,28 @@ def test_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(y), ty, rtol=2e-5, atol=2e-5)
     y2 = selective_scan_chunked(*args, chunk=8)
     np.testing.assert_allclose(np.asarray(y2), ty, rtol=2e-5, atol=2e-5)
+
+
+def test_par_matches_ref():
+    from wavemamba_tpu.ops.scan import selective_scan_par
+
+    args = _rand_inputs(jax.random.PRNGKey(4), l=53)
+    y_ref = selective_scan_ref(*args)
+    y_par = selective_scan_par(*args, sub=8)
+    np.testing.assert_allclose(np.asarray(y_par), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_par_is_differentiable_and_matches_ref_grad():
+    from wavemamba_tpu.ops.scan import selective_scan_par
+
+    args = _rand_inputs(jax.random.PRNGKey(5), l=24)
+
+    def loss_par(u):
+        return jnp.sum(selective_scan_par(u, *args[1:], sub=4) ** 2)
+
+    def loss_ref(u):
+        return jnp.sum(selective_scan_ref(u, *args[1:]) ** 2)
+
+    g_par = jax.grad(loss_par)(args[0])
+    g_ref = jax.grad(loss_ref)(args[0])
+    np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_ref), rtol=1e-4, atol=1e-4)

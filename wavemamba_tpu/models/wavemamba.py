@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from wavemamba_tpu.ops.haar import dwt2, iwt2_cat
 from wavemamba_tpu.ops.nn import (
+    dot_precision,
     conv2d,
     gelu,
     init_conv2d,
@@ -57,8 +58,13 @@ class WaveMambaConfig:
     d_conv: int = 3
     ffn_restormer: bool = False
     # Execution knobs (not part of the checkpoint):
-    scan_impl: str = "chunked"  # 'ref' | 'chunked' | 'pallas'
+    scan_impl: str = "par"  # 'par' | 'chunked' | 'ref' | 'pallas'
     scan_chunk: int = 256
+    scan_sub: int = 16
+    scan_dtype: str = "float32"  # 'bfloat16' halves scan HBM traffic
+    # 'bfloat16' runs convs/matmuls in bf16 on the MXU (scan state stays
+    # fp32); 'float32' is bit-parity mode.
+    compute_dtype: str = "float32"
 
     @property
     def d_inner(self) -> int:
@@ -132,15 +138,16 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
 
     xs = _scan_directions(xx)  # (B, 4, L, D)
     # Per-direction input projections -> (dt, B, C) with stacked weights.
-    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, p["x_proj_w"].astype(xs.dtype), precision="highest")
-    dts = jnp.einsum("bklr,kdr->bkld", x_dbl[..., :r], p["dt_projs_w"].astype(xs.dtype), precision="highest")
+    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, p["x_proj_w"].astype(xs.dtype), precision=dot_precision(xs))
+    dts = jnp.einsum("bklr,kdr->bkld", x_dbl[..., :r], p["dt_projs_w"].astype(xs.dtype), precision=dot_precision(xs))
     Bs = x_dbl[..., r : r + n]
     Cs = x_dbl[..., r + n :]
     A = -jnp.exp(p["A_logs"].astype(jnp.float32))  # (4, D, N)
 
     y = selective_scan(
         xs, dts, A, Bs, Cs, p["Ds"].astype(jnp.float32), p["dt_projs_b"].astype(jnp.float32),
-        impl=cfg.scan_impl, chunk=cfg.scan_chunk,
+        impl=cfg.scan_impl, chunk=cfg.scan_chunk, sub=cfg.scan_sub,
+        scan_dtype=jnp.dtype(cfg.scan_dtype),
     )  # (B, 4, L, D) float32
     y = _merge_directions(y, h, w).astype(x.dtype)
     y = layer_norm(p["out_norm"], y, eps=1e-5)
@@ -219,7 +226,7 @@ def matching(x, perc):
     # d2[b, i, j] = ||x_i - p_j||^2 via the expanded form (MXU matmul over L).
     x2 = jnp.sum(xf * xf, axis=1)  # (B, C)
     p2 = jnp.sum(pf * pf, axis=1)  # (B, C)
-    xp = jnp.einsum("bli,blj->bij", xf, pf, precision="highest")
+    xp = jnp.einsum("bli,blj->bij", xf, pf, precision=dot_precision(xf))
     d2 = x2[:, :, None] + p2[:, None, :] - 2.0 * xp
     idx = jnp.argmin(d2, axis=-1)  # (B, C): nearest perc channel per x channel
     sel = jnp.take_along_axis(perc.reshape(b, h * w, c), idx[:, None, :], axis=-1)
@@ -275,9 +282,9 @@ def cmt_attention_apply(p, x, perc, num_heads=1):
     qh = l2_normalize(qh, axis=-1)
     kh = l2_normalize(kh, axis=-1)
     temp = p["temperature"].astype(qh.dtype)[None, :, None, None]
-    attn = jnp.einsum("bhcl,bhdl->bhcd", qh, kh, precision="highest") * temp
+    attn = jnp.einsum("bhcl,bhdl->bhcd", qh, kh, precision=dot_precision(qh)) * temp
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhcd,bhdl->bhcl", attn, vh, precision="highest")
+    out = jnp.einsum("bhcd,bhdl->bhcl", attn, vh, precision=dot_precision(vh))
     out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
     return conv2d(p["project_out"], out)
 
@@ -462,7 +469,11 @@ def init_wavemamba(key, cfg: WaveMambaConfig):
 
 
 def wavemamba_apply(params, cfg: WaveMambaConfig, x):
-    return unet_apply(params["restoration_network"], cfg, x)
+    in_dtype = x.dtype
+    if cfg.compute_dtype != "float32":
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
+    out = unet_apply(params["restoration_network"], cfg, x)
+    return out.astype(in_dtype)
 
 
 def pad_to_multiple(x, multiple=8):

@@ -18,6 +18,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def dot_precision(x):
+    """Matmul/conv precision policy: float32 inputs use HIGHEST (bit-parity
+    with the reference; XLA's default f32 path on CPU/TPU is reduced
+    precision), while bf16 inputs use DEFAULT so the MXU runs native bf16
+    instead of being upconverted."""
+    return (
+        lax.Precision.DEFAULT
+        if x.dtype in (jnp.bfloat16, jnp.float16)
+        else lax.Precision.HIGHEST
+    )
+
+
 def gelu(x):
     """Exact (erf) GELU — torch's F.gelu default, NOT jax's tanh approx."""
     return jax.nn.gelu(x, approximate=False)
@@ -36,7 +48,7 @@ def conv2d(params, x, stride=1, padding="SAME", groups=1):
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), padding,
         dimension_numbers=dn, feature_group_count=groups,
-        precision=lax.Precision.HIGHEST,
+        precision=dot_precision(x),
     )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
@@ -45,7 +57,7 @@ def conv2d(params, x, stride=1, padding="SAME", groups=1):
 
 def linear(params, x):
     """params['w']: (in, out); x: (..., in)."""
-    y = jnp.matmul(x, params["w"].astype(x.dtype), precision=lax.Precision.HIGHEST)
+    y = jnp.matmul(x, params["w"].astype(x.dtype), precision=dot_precision(x))
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y

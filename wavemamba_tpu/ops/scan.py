@@ -74,13 +74,64 @@ def selective_scan_ref(u, delta, A, Bs, Cs, D_skip, delta_bias):
 
 
 def _chunk_body(h0, u, da, bmat, cmat, A, D_skip):
-    """One chunk: u,da (T,D); bmat,cmat (T,N); h0 (D,N). fp32 in/out."""
-    a = jnp.exp(da[:, :, None] * A[None])  # (T, D, N)
-    b = (da * u)[:, :, None] * bmat[:, None, :]  # (T, D, N)
-    a_cum, b_cum = jax.lax.associative_scan(_combine, (a, b), axis=0)
-    h = a_cum * h0[None] + b_cum  # (T, D, N)
-    y = jnp.einsum("tdn,tn->td", h, cmat, precision="highest") + D_skip[None, :] * u
-    return h[-1], y
+    """One chunk: u,da (T,D); bmat,cmat (T,N); h0 (D,N). fp32 in/out.
+
+    Work-efficient two-pass evaluation (same structure as the Pallas kernel
+    in scan_pallas.py): the chunk is split into R subsegments of S steps.
+    Pass 1 runs S unrolled steps vectorized over (R, N, D) to get each
+    subsegment's transition; a log-depth combine over R yields entering
+    states; pass 2 recomputes and emits y. Compared to a naive
+    `associative_scan` over (T, D, N) (log T full-size passes), HBM traffic
+    drops ~4x — the dominant cost of the scan on TPU.
+    """
+    T, D = u.shape
+    N = A.shape[-1]
+    S = 8 if T % 8 == 0 else 1
+    R = T // S
+    u4 = u.reshape(R, S, D)
+    da4 = da.reshape(R, S, D)
+    b4 = bmat.reshape(R, S, N)
+    c4 = cmat.reshape(R, S, N)
+
+    def step_ab(i):
+        dai = da4[:, i, :][:, None, :]  # (R, 1, D)
+        ai = jnp.exp(dai * A.transpose(1, 0)[None])  # (R, N, D)
+        bi = (dai * u4[:, i, :][:, None, :]) * b4[:, i, :][:, :, None]
+        return ai, bi
+
+    pa, pb = step_ab(0)
+    for i in range(1, S):
+        ai, bi = step_ab(i)
+        pa = pa * ai
+        pb = ai * pb + bi
+
+    # Inclusive scan over the R subsegment transitions (small arrays).
+    sa, sb = pa, pb
+    s = 1
+    while s < R:
+        ident = jnp.ones((s, N, D), sa.dtype)
+        zero = jnp.zeros((s, N, D), sb.dtype)
+        sa_sh = jnp.concatenate([ident, sa[:-s]], axis=0)
+        sb_sh = jnp.concatenate([zero, sb[:-s]], axis=0)
+        sb = sb + sa * sb_sh
+        sa = sa * sa_sh
+        s *= 2
+
+    h0_nd = h0.transpose(1, 0)  # (N, D)
+    ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
+    ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
+    H = ex_a * h0_nd[None] + ex_b  # entering state per subsegment (R, N, D)
+    h_last = sa[R - 1] * h0_nd + sb[R - 1]
+
+    h = H
+    ys = []
+    for i in range(S):
+        ai, bi = step_ab(i)
+        h = ai * h + bi
+        yi = jnp.einsum("rnd,rn->rd", h, c4[:, i, :], precision="highest")
+        ys.append(yi + D_skip[None, :] * u4[:, i, :])
+    y = jnp.stack(ys, axis=1).reshape(T, D)
+    return h_last.transpose(1, 0), y
 
 
 def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256):
@@ -124,12 +175,96 @@ def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256):
     return y[:, :, :L]
 
 
-def selective_scan(u, delta, A, Bs, Cs, D_skip, delta_bias, impl="chunked", chunk=256):
+def selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias, sub=16,
+                       scan_dtype=jnp.float32):
+    """Fully-parallel scan: NO sequential chunk loop.
+
+    The sequence is split into R = L/sub subsegments of `sub` steps. Phase A
+    computes every subsegment's transition with `sub` unrolled steps
+    vectorized over (B, K, R, N, D); phase B is a log-depth doubling scan
+    over the R transitions; phase C replays the `sub` steps with the correct
+    entering states and emits y. Sequential depth is 2*sub + log2(R) LARGE
+    ops — on TPU this is bandwidth-bound instead of latency-bound, which
+    makes it ~4x faster than the lax.scan-over-chunks variant at small L
+    (dispatch overhead) and equal at large L.
+
+    `scan_dtype` controls the working arrays (bf16 halves HBM traffic; the
+    reference semantics are fp32 — keep float32 for bit-parity).
+    """
+    B, K, L, D = u.shape
+    N = A.shape[-1]
+    f = scan_dtype
+    da = jax.nn.softplus(delta.astype(jnp.float32) + delta_bias[None, :, None, :])
+    u = u.astype(f)
+    da = da.astype(f)
+    Bs = Bs.astype(f)
+    Cs = Cs.astype(f)
+    At = A.astype(f).transpose(0, 2, 1)  # (K, N, D)
+
+    S = sub
+    pad = (-L) % S
+    if pad:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        da = jnp.pad(da, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        Bs = jnp.pad(Bs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        Cs = jnp.pad(Cs, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+    R = Lp // S
+    u5 = u.reshape(B, K, R, S, D)
+    da5 = da.reshape(B, K, R, S, D)
+    b5 = Bs.reshape(B, K, R, S, N)
+    c5 = Cs.reshape(B, K, R, S, N)
+
+    def step_ab(i):
+        dai = da5[:, :, :, i, :][:, :, :, None, :]  # (B,K,R,1,D)
+        ai = jnp.exp(dai * At[None, :, None])  # (B,K,R,N,D)
+        bi = (dai * u5[:, :, :, i, :][:, :, :, None, :]) * b5[:, :, :, i, :][..., None]
+        return ai, bi
+
+    # Phase A: subsegment transitions.
+    pa, pb = step_ab(0)
+    for i in range(1, S):
+        ai, bi = step_ab(i)
+        pa = pa * ai
+        pb = ai * pb + bi
+
+    # Phase B: doubling scan over R (axis 2). Global h0 = 0, so only the
+    # b-part of the exclusive prefix matters for entering states.
+    sa, sb = pa, pb
+    s = 1
+    while s < R:
+        pad_a = jnp.ones((B, K, s, N, D), f)
+        pad_b = jnp.zeros((B, K, s, N, D), f)
+        sa_sh = jnp.concatenate([pad_a, sa[:, :, :-s]], axis=2)
+        sb_sh = jnp.concatenate([pad_b, sb[:, :, :-s]], axis=2)
+        sb = sb + sa * sb_sh
+        sa = sa * sa_sh
+        s *= 2
+    H = jnp.concatenate([jnp.zeros((B, K, 1, N, D), f), sb[:, :, :-1]], axis=2)
+
+    # Phase C: replay with entering states, emit y.
+    h = H
+    ys = []
+    for i in range(S):
+        ai, bi = step_ab(i)
+        h = ai * h + bi
+        yi = jnp.einsum("bkrnd,bkrn->bkrd", h, c5[:, :, :, i, :],
+                        precision="highest")
+        ys.append(yi + D_skip.astype(f)[None, :, None, :] * u5[:, :, :, i, :])
+    y = jnp.stack(ys, axis=3).reshape(B, K, Lp, D).astype(jnp.float32)
+    return y[:, :, :L] if pad else y
+
+
+def selective_scan(u, delta, A, Bs, Cs, D_skip, delta_bias, impl="chunked",
+                   chunk=256, sub=16, scan_dtype=jnp.float32):
     """Dispatch to an implementation. See module docstring for layouts."""
     if impl == "ref":
         return selective_scan_ref(u, delta, A, Bs, Cs, D_skip, delta_bias)
     if impl == "chunked":
         return selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=chunk)
+    if impl == "par":
+        return selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias,
+                                  sub=sub, scan_dtype=scan_dtype)
     if impl == "pallas":
         return _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias)
     raise ValueError(f"unknown selective_scan impl: {impl!r}")
