@@ -29,8 +29,11 @@ def main():
         wavemamba_apply,
     )
 
-    scan_impl = os.environ.get("WM_SCAN_IMPL", "chunked")
-    cfg = WaveMambaConfig(scan_impl=scan_impl)
+    mode = os.environ.get("WM_MODE", "fast")
+    if mode == "fast":
+        cfg = WaveMambaConfig.fast()
+    else:  # 'parity': full fp32, bit-parity with the reference
+        cfg = WaveMambaConfig()
     params = init_wavemamba(jax.random.PRNGKey(0), cfg)
     fwd = jax.jit(lambda p, x: wavemamba_apply(p, cfg, x))
 
@@ -55,7 +58,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"wavemamba_1080p_latency({scan_impl})",
+                "metric": f"wavemamba_1080p_latency({mode})",
                 "value": round(latency, 5),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_1080P_S / latency, 3),

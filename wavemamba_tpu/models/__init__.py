@@ -45,6 +45,28 @@ def _build_art(**kw):
     return ARTConfig(**{k: v for k, v in kw.items() if k in known})
 
 
+def init_for(cfg):
+    """Config object -> init function (keyed by config type)."""
+    from wavemamba_tpu.models.art import ARTConfig, init_art
+
+    if isinstance(cfg, WaveMambaConfig):
+        return init_wavemamba
+    if isinstance(cfg, ARTConfig):
+        return init_art
+    raise TypeError(f"no init for config type {type(cfg).__name__}")
+
+
+def apply_for(cfg):
+    """Config object -> apply function (params, cfg, x) -> y."""
+    from wavemamba_tpu.models.art import ARTConfig, art_apply
+
+    if isinstance(cfg, WaveMambaConfig):
+        return wavemamba_apply
+    if isinstance(cfg, ARTConfig):
+        return art_apply
+    raise TypeError(f"no apply for config type {type(cfg).__name__}")
+
+
 __all__ = [
     "WaveMambaConfig",
     "init_wavemamba",

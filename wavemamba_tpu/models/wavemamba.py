@@ -57,14 +57,28 @@ class WaveMambaConfig:
     d_state: int = 16
     d_conv: int = 3
     ffn_restormer: bool = False
-    # Execution knobs (not part of the checkpoint):
-    scan_impl: str = "par"  # 'par' | 'chunked' | 'ref' | 'pallas'
+    # Execution knobs (not part of the checkpoint). Defaults are the
+    # bit-parity float32 path; `WaveMambaConfig.fast()` is the tuned bf16
+    # TPU inference preset (measured on v5e, see BENCH_NOTES.md).
+    scan_impl: str = "chunked"  # 'par' | 'chunked' | 'ref' | 'pallas'
     scan_chunk: int = 256
-    scan_sub: int = 16
+    scan_sub: int = 32
     scan_dtype: str = "float32"  # 'bfloat16' halves scan HBM traffic
     # 'bfloat16' runs convs/matmuls in bf16 on the MXU (scan state stays
     # fp32); 'float32' is bit-parity mode.
     compute_dtype: str = "float32"
+
+    @classmethod
+    def fast(cls, **kw):
+        """Tuned TPU inference preset: bf16 convs/matmuls + bf16 parallel
+        scan (softplus/delta still fp32). Measured ~38 dB PSNR vs the fp32
+        parity path (random weights, 512x512) — ~10 dB above the task's
+        output-quality scale (UHD-LL GT PSNR ~27 dB)."""
+        kw.setdefault("scan_impl", "par")
+        kw.setdefault("scan_sub", 32)
+        kw.setdefault("compute_dtype", "bfloat16")
+        kw.setdefault("scan_dtype", "bfloat16")
+        return cls(**kw)
 
     @property
     def d_inner(self) -> int:

@@ -128,21 +128,25 @@ def _chunk_body(h0, u, da, bmat, cmat, A, D_skip):
     for i in range(S):
         ai, bi = step_ab(i)
         h = ai * h + bi
-        yi = jnp.einsum("rnd,rn->rd", h, c4[:, i, :], precision="highest")
+        yi = jnp.einsum("rnd,rn->rd", h, c4[:, i, :],
+                        precision="highest" if h.dtype == jnp.float32 else "default")
         ys.append(yi + D_skip[None, :] * u4[:, i, :])
     y = jnp.stack(ys, axis=1).reshape(T, D)
     return h_last.transpose(1, 0), y
 
 
-def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256):
+def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256,
+                           scan_dtype=jnp.float32):
     """Chunked scan: sequential over chunks, parallel (log-depth) inside."""
     B, K, L, D = u.shape
     N = A.shape[-1]
-    u = u.astype(jnp.float32)
-    da = jax.nn.softplus(delta.astype(jnp.float32) + delta_bias[None, :, None, :])
-    Bs = Bs.astype(jnp.float32)
-    Cs = Cs.astype(jnp.float32)
-    A = A.astype(jnp.float32)
+    f = scan_dtype
+    da = jax.nn.softplus(delta.astype(jnp.float32) + delta_bias[None, :, None, :]).astype(f)
+    u = u.astype(f)
+    Bs = Bs.astype(f)
+    Cs = Cs.astype(f)
+    A = A.astype(f)
+    D_skip = D_skip.astype(f)
 
     pad = (-L) % chunk
     if pad:
@@ -168,10 +172,10 @@ def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256):
         h, y = body(h, cu, cda, cb, cc, A, D_skip)
         return h, y
 
-    h0 = jnp.zeros((B, K, D, N), jnp.float32)
+    h0 = jnp.zeros((B, K, D, N), f)
     _, ys = jax.lax.scan(scan_step, h0, (to_chunks(u), to_chunks(da), to_chunks(Bs), to_chunks(Cs)))
     # ys: (nc, B, K, T, D) -> (B, K, Lp, D)
-    y = jnp.moveaxis(ys, 0, 2).reshape(B, K, Lp, D)
+    y = jnp.moveaxis(ys, 0, 2).reshape(B, K, Lp, D).astype(jnp.float32)
     return y[:, :, :L]
 
 
@@ -215,6 +219,13 @@ def selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias, sub=16,
     b5 = Bs.reshape(B, K, R, S, N)
     c5 = Cs.reshape(B, K, R, S, N)
 
+    # LAYOUT NOTE (measured on v5e): keep the working arrays 5-D
+    # (B, K, R, N, D). With N=16/D=64 the (N, D) minor dims tile as
+    # (16 sublanes, 64->128 lanes): 2x lane padding, but every broadcast
+    # below fuses into its consumer. A flat (B, K, R, N*D) layout packs
+    # lanes perfectly but the tile/repeat+reshape boundaries block XLA
+    # fusion and materialize full-size copies per step — measured ~30%
+    # slower end to end.
     def step_ab(i):
         dai = da5[:, :, :, i, :][:, :, :, None, :]  # (B,K,R,1,D)
         ai = jnp.exp(dai * At[None, :, None])  # (B,K,R,N,D)
@@ -249,7 +260,7 @@ def selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias, sub=16,
         ai, bi = step_ab(i)
         h = ai * h + bi
         yi = jnp.einsum("bkrnd,bkrn->bkrd", h, c5[:, :, :, i, :],
-                        precision="highest")
+                        precision="highest" if h.dtype == jnp.float32 else "default")
         ys.append(yi + D_skip.astype(f)[None, :, None, :] * u5[:, :, :, i, :])
     y = jnp.stack(ys, axis=3).reshape(B, K, Lp, D).astype(jnp.float32)
     return y[:, :, :L] if pad else y
@@ -261,7 +272,8 @@ def selective_scan(u, delta, A, Bs, Cs, D_skip, delta_bias, impl="chunked",
     if impl == "ref":
         return selective_scan_ref(u, delta, A, Bs, Cs, D_skip, delta_bias)
     if impl == "chunked":
-        return selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=chunk)
+        return selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias,
+                                      chunk=chunk, scan_dtype=scan_dtype)
     if impl == "par":
         return selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias,
                                   sub=sub, scan_dtype=scan_dtype)

@@ -22,12 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from wavemamba_tpu.metrics import METRIC_DIRECTION, build_metric
-from wavemamba_tpu.models import build_network
-from wavemamba_tpu.models.wavemamba import (
-    init_wavemamba,
-    pad_to_multiple,
-    wavemamba_apply,
-)
+from wavemamba_tpu.models import apply_for, build_network, init_for
+from wavemamba_tpu.models.wavemamba import pad_to_multiple
 from wavemamba_tpu.train.checkpoint import (
     find_resume_state,
     load_network,
@@ -75,7 +71,7 @@ class RestorationModel:
         self.is_train = opt.get("is_train", False)
 
         seed = opt.get("manual_seed", 0) or 0
-        self.params = init_wavemamba(jax.random.PRNGKey(seed), self.cfg)
+        self.params = init_for(self.cfg)(jax.random.PRNGKey(seed), self.cfg)
 
         pretrain = opt.get("path", {}).get("pretrain_network_g")
         if pretrain:
@@ -118,7 +114,8 @@ class RestorationModel:
     # ------------------------------------------------------------------- eval
     def _eval_fn(self, shape):
         if shape not in self._eval_fns:
-            fn = jax.jit(lambda p, x: wavemamba_apply(p, self.cfg, x))
+            apply = apply_for(self.cfg)
+            fn = jax.jit(lambda p, x: apply(p, self.cfg, x))
             self._eval_fns[shape] = fn
         return self._eval_fns[shape]
 

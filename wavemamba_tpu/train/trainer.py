@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from wavemamba_tpu.losses import fft_loss, l1_loss
-from wavemamba_tpu.models.wavemamba import WaveMambaConfig, wavemamba_apply
+from wavemamba_tpu.models.wavemamba import WaveMambaConfig
 from wavemamba_tpu.parallel.mesh import batch_sharding, replicated
 from wavemamba_tpu.train.schedules import build_scheduler
 
@@ -82,9 +82,11 @@ def create_train_state(params, tcfg: TrainConfig):
     return state
 
 
-def loss_fn(params, cfg: WaveMambaConfig, tcfg: TrainConfig, lq, gt):
+def loss_fn(params, cfg, tcfg: TrainConfig, lq, gt):
     """L1 + weighted FFT loss; returns (total, metrics dict)."""
-    out = wavemamba_apply(params, cfg, lq)
+    from wavemamba_tpu.models import apply_for
+
+    out = apply_for(cfg)(params, cfg, lq)
     l_pix = l1_loss(out, gt, loss_weight=tcfg.pixel_weight)
     total = l_pix
     metrics = {"l1": l_pix}
@@ -133,8 +135,10 @@ def make_train_step(cfg: WaveMambaConfig, tcfg: TrainConfig, mesh=None) -> Calla
 
 
 def make_eval_step(cfg: WaveMambaConfig, mesh=None) -> Callable:
+    from wavemamba_tpu.models import apply_for
+
     def fwd(params, lq):
-        return wavemamba_apply(params, cfg, lq)
+        return apply_for(cfg)(params, cfg, lq)
 
     if mesh is None:
         return jax.jit(fwd)
