@@ -85,3 +85,21 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_tiled_apply_mesh_matches_single():
+    """Mesh-sharded tiled inference must equal single-device tiled output."""
+    from wavemamba_tpu.models import wavemamba as wm
+    from wavemamba_tpu.models.tiling import tiled_apply, tiled_apply_mesh
+
+    params = wm.init_wavemamba(jax.random.PRNGKey(0), TINY)
+    img = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 128, 3)), np.float32
+    )
+    fwd = jax.jit(lambda t: wm.wavemamba_apply(params, TINY, t))
+    single = tiled_apply(lambda t: np.asarray(fwd(jnp.asarray(t))), img,
+                         tile_size=48, tile_pad=8, tile_batch=4)
+    mesh = make_mesh(4)
+    sharded = tiled_apply_mesh(wm.wavemamba_apply, params, TINY, img, mesh,
+                               tile_size=48, tile_pad=8)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)

@@ -1,0 +1,113 @@
+import os
+
+import numpy as np
+import pytest
+
+from wavemamba_tpu.data.loader import EnlargedSampler, ThreadedLoader, _collate
+from wavemamba_tpu.utils.options import (
+    apply_force_yml,
+    dict2str,
+    parse_options,
+    yaml_load,
+)
+from wavemamba_tpu.utils.registry import Registry
+
+
+def test_registry():
+    reg = Registry("test")
+
+    @reg.register()
+    def thing():
+        return 1
+
+    assert reg.get("thing") is thing
+    assert "thing" in reg
+    with pytest.raises(KeyError):
+        reg.get("missing")
+    with pytest.raises(KeyError):
+        reg.register(thing)  # duplicate
+
+
+def test_force_yml_overrides():
+    opt = {"train": {"optim_g": {"lr": 5e-4}}, "name": "x"}
+    apply_force_yml(opt, ["train:optim_g:lr=1e-5", "name=hello"])
+    assert opt["train"]["optim_g"]["lr"] == 1e-5
+    assert opt["name"] == "hello"
+    apply_force_yml(opt, ["train:optim_g:lr=true"])
+    assert opt["train"]["optim_g"]["lr"] is True
+
+
+def test_parse_options_debug_and_paths(tmp_path):
+    cfg = tmp_path / "o.yml"
+    cfg.write_text(
+        "name: exp1\nmanual_seed: 3\nscale: 1\n"
+        "datasets:\n  train:\n    name: t\n    type: PairedImageDataset\n"
+        "train:\n  total_iter: 100\nval:\n  val_freq: 10\n"
+        "logger:\n  print_freq: 5\n  save_checkpoint_freq: 10\n"
+    )
+    opt, parsed = parse_options(str(tmp_path), is_train=True,
+                                args=["-opt", str(cfg), "--debug"])
+    assert opt["name"].startswith("debug_")
+    assert opt["train"]["total_iter"] == 24  # debug clamp
+    assert opt["datasets"]["train"]["phase"] == "train"
+    assert opt["datasets"]["train"]["scale"] == 1
+    assert opt["path"]["models"].endswith("models")
+    assert "debug_exp1" in opt["path"]["experiments_root"]
+    assert dict2str(opt)  # formats without crashing
+
+
+def test_enlarged_sampler_rank_partition():
+    s0 = EnlargedSampler(10, num_replicas=2, rank=0, ratio=2)
+    s1 = EnlargedSampler(10, num_replicas=2, rank=1, ratio=2)
+    s0.set_epoch(3)
+    s1.set_epoch(3)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 10  # ceil(10*2/2)
+    assert all(0 <= i < 10 for i in i0 + i1)
+    # different epoch -> different permutation
+    s0.set_epoch(4)
+    assert list(s0) != i0
+
+
+class _SquareDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2), i, np.float32), "path": f"p{i}"}
+
+
+def test_threaded_loader_batches_and_error_propagation():
+    loader = ThreadedLoader(_SquareDataset(), batch_size=4, num_workers=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["x"].shape == (4, 2, 2)
+    assert isinstance(batches[0]["path"], list)
+
+    class _Broken(_SquareDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(ThreadedLoader(_Broken(), batch_size=2, num_workers=2))
+
+
+def test_torch_export_roundtrip():
+    """params -> reference state dict -> params must be identity."""
+    import jax
+
+    from wavemamba_tpu.convert.torch_export import params_to_state_dict
+    from wavemamba_tpu.convert.torch_import import convert_state_dict
+    from wavemamba_tpu.models.wavemamba import WaveMambaConfig, init_wavemamba
+
+    cfg = WaveMambaConfig(wf=16, n_l_blocks=(1, 1, 1), n_h_blocks=(1, 1, 1))
+    params = init_wavemamba(jax.random.PRNGKey(0), cfg)
+    sd = params_to_state_dict(params)
+    assert all(isinstance(k, str) for k in sd)
+    back = convert_state_dict(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

@@ -67,3 +67,36 @@ def tiled_apply(fn, img, tile_size=240, tile_pad=16, pad_multiple=8, tile_batch=
             result[y0 : y0 + ts, x0 : x0 + ts, :] = outs[t, pad : pad + ts, pad : pad + ts, :]
             t += 1
     return result[None, :H, :W, :]
+
+
+def tiled_apply_mesh(apply_fn, params, cfg, img, mesh, tile_size=240,
+                     tile_pad=16, pad_multiple=8, tile_batch=None):
+    """Mesh-parallel tiled inference: the tile batch is sharded over the
+    mesh's 'data' axis (params replicated), so a UHD frame's tiles are
+    enhanced by all chips at once — the multi-chip scaling story for 4K/8K
+    frames the reference never had (its test_tile is single-GPU serial).
+
+    apply_fn: (params, cfg, x) -> y (the model's apply function).
+    """
+    import jax
+
+    from wavemamba_tpu.parallel.mesh import batch_sharding, replicated
+
+    n = mesh.devices.size
+    if tile_batch is None:
+        tile_batch = max(n, (8 // n) * n) if n <= 8 else n
+    tile_batch = ((tile_batch + n - 1) // n) * n  # divisible by mesh size
+
+    fn = jax.jit(
+        lambda p, t: apply_fn(p, cfg, t),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+    def run(tiles_np):
+        import jax.numpy as jnp
+
+        return np.asarray(fn(params, jnp.asarray(tiles_np)))
+
+    return tiled_apply(run, img, tile_size=tile_size, tile_pad=tile_pad,
+                       pad_multiple=pad_multiple, tile_batch=tile_batch)

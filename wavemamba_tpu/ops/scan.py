@@ -175,7 +175,9 @@ def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256,
     h0 = jnp.zeros((B, K, D, N), f)
     _, ys = jax.lax.scan(scan_step, h0, (to_chunks(u), to_chunks(da), to_chunks(Bs), to_chunks(Cs)))
     # ys: (nc, B, K, T, D) -> (B, K, Lp, D)
-    y = jnp.moveaxis(ys, 0, 2).reshape(B, K, Lp, D).astype(jnp.float32)
+    # Output stays in scan_dtype; callers cast (avoids a full-size f32
+    # round trip in bf16 mode).
+    y = jnp.moveaxis(ys, 0, 2).reshape(B, K, Lp, D)
     return y[:, :, :L]
 
 
@@ -262,7 +264,7 @@ def selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias, sub=16,
         yi = jnp.einsum("bkrnd,bkrn->bkrd", h, c5[:, :, :, i, :],
                         precision="highest" if h.dtype == jnp.float32 else "default")
         ys.append(yi + D_skip.astype(f)[None, :, None, :] * u5[:, :, :, i, :])
-    y = jnp.stack(ys, axis=3).reshape(B, K, Lp, D).astype(jnp.float32)
+    y = jnp.stack(ys, axis=3).reshape(B, K, Lp, D)  # stays in scan_dtype
     return y[:, :, :L] if pad else y
 
 
