@@ -35,6 +35,8 @@ def main(argv=None):
     parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0=off)")
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="AlexNet LPIPS state-dict path (optional)")
+    parser.add_argument("--fast", action="store_true",
+                        help="tuned bf16 TPU preset (see WaveMambaConfig.fast)")
     parser.add_argument("--wf", type=int, default=32)
     parser.add_argument("--n_l_blocks", type=int, nargs="+", default=[1, 2, 4])
     parser.add_argument("--n_h_blocks", type=int, nargs="+", default=[1, 1, 2])
@@ -50,7 +52,8 @@ def main(argv=None):
     from wavemamba_tpu.utils.img_util import batch2img, img2batch, imread, imwrite
     from wavemamba_tpu.utils.misc import scandir
 
-    cfg = WaveMambaConfig(
+    mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
+    cfg = mk(
         wf=args.wf, n_l_blocks=tuple(args.n_l_blocks), n_h_blocks=tuple(args.n_h_blocks)
     )
     params = load_network(args.weight)

@@ -59,3 +59,41 @@ def test_pallas_dispatch_gradient():
 
     g = jax.grad(loss_chk)(args[0])
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_bwd_kernel_matches_ref_grads():
+    """Full pallas backward kernel (interpret mode) vs autodiff of the ref."""
+    from wavemamba_tpu.ops.scan_pallas import (
+        selective_scan_pallas,
+        selective_scan_pallas_bwd,
+    )
+
+    args = _rand_inputs(jax.random.PRNGKey(7), b=2, k=2, l=45, d=8, n=4)
+    y, carries = selective_scan_pallas(
+        *args, chunk=16, sub=4, interpret=True, return_carries=True
+    )
+    dy = jax.random.normal(jax.random.PRNGKey(8), y.shape)
+
+    grads = selective_scan_pallas_bwd(
+        *args, carries, dy, chunk=16, sub=4, interpret=True
+    )
+    _, vjp = jax.vjp(selective_scan_ref, *args)
+    ref_grads = vjp(dy)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD_skip", "dbias"]
+    for name, mine, ref in zip(names, grads, ref_grads):
+        np.testing.assert_allclose(
+            np.asarray(mine), np.asarray(ref), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+
+
+def test_pallas_forward_carries_consistent():
+    from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas
+
+    args = _rand_inputs(jax.random.PRNGKey(9), b=1, k=2, l=32, d=4, n=4)
+    y1 = selective_scan_pallas(*args, chunk=16, sub=4, interpret=True)
+    y2, carries = selective_scan_pallas(
+        *args, chunk=16, sub=4, interpret=True, return_carries=True
+    )
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    assert carries.shape == (2, 2, 4, 4)  # (G, nc, N, D)
+    np.testing.assert_allclose(np.asarray(carries[:, 0]), 0.0, atol=1e-7)

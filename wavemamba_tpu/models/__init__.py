@@ -21,12 +21,21 @@ def register_arch(name):
 
 
 def build_network(opt: dict):
-    """opt: dict with 'type' plus kwargs (mirrors `basicsr/archs/__init__.py:19`)."""
+    """opt: dict with 'type' plus kwargs (mirrors `basicsr/archs/__init__.py:19`).
+
+    Resolution order: built-in factories, then the user-extensible
+    ARCH_REGISTRY (decorator registrations, `utils/registry.py`)."""
     opt = dict(opt)
     name = opt.pop("type")
-    if name not in _ARCHS:
-        raise KeyError(f"Unknown arch type {name!r}; known: {sorted(_ARCHS)}")
-    return _ARCHS[name](**opt)
+    if name in _ARCHS:
+        return _ARCHS[name](**opt)
+    from wavemamba_tpu.utils.registry import ARCH_REGISTRY
+
+    if name in ARCH_REGISTRY:
+        return ARCH_REGISTRY.get(name)(**opt)
+    raise KeyError(
+        f"Unknown arch type {name!r}; known: {sorted(_ARCHS) + sorted(ARCH_REGISTRY.keys())}"
+    )
 
 
 @register_arch("WaveMamba")

@@ -284,26 +284,33 @@ def selective_scan(u, delta, A, Bs, Cs, D_skip, delta_bias, impl="chunked",
     raise ValueError(f"unknown selective_scan impl: {impl!r}")
 
 
-# Pallas forward with a differentiable fallback backward: the VJP replays the
-# chunked implementation (numerically identical recurrence) and
-# differentiates it. Gives kernel-speed forward everywhere; a dedicated
-# backward kernel can swap in behind the same interface.
+# Pallas forward + Pallas backward (reverse-scan kernel). The forward saves
+# the chunk-entry carries as residuals; the backward recomputes per-chunk
+# states from them and runs the gradient recurrence in reverse
+# (see scan_pallas.py `_scan_bwd_kernel`).
 @jax.custom_vjp
 def _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias):
     from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas
 
-    return selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias)
+    return selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256)
 
 
 def _scan_pallas_fwd(u, delta, A, Bs, Cs, D_skip, delta_bias):
-    return _scan_pallas_diff(u, delta, A, Bs, Cs, D_skip, delta_bias), (
-        u, delta, A, Bs, Cs, D_skip, delta_bias,
+    from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas
+
+    y, carries = selective_scan_pallas(
+        u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256, return_carries=True
     )
+    return y, (u, delta, A, Bs, Cs, D_skip, delta_bias, carries)
 
 
-def _scan_pallas_bwd(res, g):
-    _, vjp = jax.vjp(selective_scan_chunked, *res)
-    return vjp(g)
+def _scan_pallas_bwd(res, dy):
+    from wavemamba_tpu.ops.scan_pallas import selective_scan_pallas_bwd
+
+    u, delta, A, Bs, Cs, D_skip, delta_bias, carries = res
+    return selective_scan_pallas_bwd(
+        u, delta, A, Bs, Cs, D_skip, delta_bias, carries, dy, chunk=256
+    )
 
 
 _scan_pallas_diff.defvjp(_scan_pallas_fwd, _scan_pallas_bwd)

@@ -45,13 +45,16 @@ def _shift_down(x, s, fill):
     return jnp.concatenate([pad, x[:-s]], axis=0)
 
 
-def _scan_kernel(u_ref, dr_ref, b_ref, c_ref, a_ref, dsk_ref, bias_ref, y_ref, h_ref,
-                 *, sub: int):
+def _scan_kernel(u_ref, dr_ref, b_ref, c_ref, a_ref, dsk_ref, bias_ref, y_ref,
+                 carry_ref, h_ref, *, sub: int):
     c_idx = pl.program_id(1)
 
     @pl.when(c_idx == 0)
     def _():
         h_ref[...] = jnp.zeros_like(h_ref)
+
+    # Save the chunk-ENTRY state (residual for the backward kernel).
+    carry_ref[0, 0] = h_ref[...]
 
     u = u_ref[0]  # (T, D)
     da = jax.nn.softplus(dr_ref[0] + bias_ref[0])  # (T, D)
@@ -115,9 +118,12 @@ def _scan_kernel(u_ref, dr_ref, b_ref, c_ref, a_ref, dsk_ref, bias_ref, y_ref, h
     y_ref[0] = y
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "sub", "interpret", "return_carries")
+)
 def selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias,
-                          chunk=512, sub=8, interpret=False):
+                          chunk=512, sub=8, interpret=False,
+                          return_carries=False):
     """Public-layout wrapper; see `ops/scan.py` for layout docs."""
     B, K, L, D = u.shape
     N = A.shape[-1]
@@ -150,16 +156,207 @@ def selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias,
     ln_spec = pl.BlockSpec((1, chunk, N), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec((1, N, D), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, 1, D), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM)
+    cr_spec = pl.BlockSpec((1, 1, N, D), lambda g, c: (g, c, 0, 0), memory_space=pltpu.VMEM)
 
-    y = pl.pallas_call(
+    y, carries = pl.pallas_call(
         functools.partial(_scan_kernel, sub=sub),
         grid=grid,
         in_specs=[ld_spec, ld_spec, ln_spec, ln_spec, a_spec, v_spec, v_spec],
-        out_specs=ld_spec,
-        out_shape=jax.ShapeDtypeStruct((G, Lp, D), f32),
+        out_specs=(ld_spec, cr_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, D), f32),
+            jax.ShapeDtypeStruct((G, nc, N, D), f32),
+        ),
         scratch_shapes=[pltpu.VMEM((N, D), f32)],
         interpret=interpret,
     )(u_g, dr_g, b_g, c_g, a_g, dsk_g, bias_g)
 
     y = y.reshape(B, K, Lp, D)
-    return y[:, :, :L] if pad else y
+    out = y[:, :, :L] if pad else y
+    if return_carries:
+        return out, carries
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: gradient of the recurrence as a REVERSE linear scan.
+#
+#   g_t := dL/dh_t = C_t (x) dy_t + a_{t+1} * g_{t+1}
+#   du_t  = da_t * sum_n g_t B_t[n] + D_skip * dy_t
+#   dda_t = sum_n (g_t h_{t-1} a_t A)[n] + (sum_n g_t B_t[n]) u_t
+#   ddr_t = dda_t * sigmoid(dr_t + bias);  dbias = sum_t ddr_t
+#   dB_t[n] = sum_d g_t da_t u_t;  dC_t[n] = sum_d dy_t h_t
+#   dA += sum_t g_t h_{t-1} a_t da_t;  dD_skip = sum_t dy_t u_t
+#
+# Chunks are processed in reverse grid order; the forward kernel's saved
+# chunk-entry carries supply h at each chunk boundary, and a VMEM scratch
+# carries a_first*g_first back to the previous (earlier) chunk.
+
+
+def _linscan_values(coef, inp, init, sub):
+    """h_t = coef_t * h_{t-1} + inp_t over axis 0 of (T, N, D) values,
+    h_{-1} = init (N, D). Two-pass subsegment evaluation, returns all h."""
+    T, N, D = inp.shape
+    S = sub
+    R = T // S
+    c4 = coef.reshape(R, S, N, D)
+    i4 = inp.reshape(R, S, N, D)
+
+    pa = c4[:, 0]
+    pb = i4[:, 0]
+    for i in range(1, S):
+        pa = pa * c4[:, i]
+        pb = c4[:, i] * pb + i4[:, i]
+    sa, sb = pa, pb
+    s = 1
+    while s < R:
+        sa_sh = jnp.concatenate([jnp.ones((s, N, D), sa.dtype), sa[:-s]], axis=0)
+        sb_sh = jnp.concatenate([jnp.zeros((s, N, D), sb.dtype), sb[:-s]], axis=0)
+        sb = sb + sa * sb_sh
+        sa = sa * sa_sh
+        s *= 2
+    ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
+    ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
+    h = ex_a * init[None] + ex_b
+    hs = []
+    for i in range(S):
+        h = c4[:, i] * h + i4[:, i]
+        hs.append(h)
+    return jnp.stack(hs, axis=1).reshape(T, N, D)
+
+
+def _scan_bwd_kernel(u_ref, dr_ref, b_ref, c_ref, dy_ref, hin_ref, a_ref,
+                     dsk_ref, bias_ref,
+                     du_ref, ddr_ref, db_ref, dc_ref, dA_ref, ddsk_ref,
+                     dbias_ref, gcar_ref, *, sub: int):
+    c_idx = pl.program_id(1)
+
+    @pl.when(c_idx == 0)
+    def _():
+        gcar_ref[...] = jnp.zeros_like(gcar_ref)
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        ddsk_ref[...] = jnp.zeros_like(ddsk_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    u = u_ref[0]  # (T, D)
+    dr = dr_ref[0]
+    Bm = b_ref[0]  # (T, N)
+    Cm = c_ref[0]
+    dy = dy_ref[0]  # (T, D)
+    h_in = hin_ref[0, 0]  # (N, D) chunk-entry state
+    A = a_ref[0]  # (N, D)
+    dsk = dsk_ref[0]  # (1, D)
+    bias = bias_ref[0]  # (1, D)
+
+    T, D = u.shape
+    N = A.shape[0]
+    z = dr + bias
+    da = jax.nn.softplus(z)
+    sig = jax.nn.sigmoid(z)
+
+    # Recompute per-position a_t and forward states h_t (value arrays).
+    a_all = jnp.exp(da[:, None, :] * A[None])  # (T, N, D)
+    b_all = (da * u)[:, None, :] * Bm[:, :, None]
+    h_all = _linscan_values(a_all, b_all, h_in, sub)  # (T, N, D)
+    h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
+
+    # Reverse scan for g: in reversed time tau (t = T-1-tau):
+    #   g[tau] = ar[tau] * g[tau-1] + q_r[tau],  g[-1] = carry
+    # with ar[0] = 1 (the carry is pre-multiplied by its own a).
+    q = Cm[:, :, None] * dy[:, None, :]  # (T, N, D)
+    a_flip = a_all[::-1]
+    ar = jnp.concatenate([jnp.ones((1, N, D), a_all.dtype), a_flip[:-1]], axis=0)
+    g_rev = _linscan_values(ar, q[::-1], gcar_ref[...], sub)
+    g = g_rev[::-1]  # (T, N, D)
+    gcar_ref[...] = a_all[0] * g[0]
+
+    common = g * h_prev * a_all  # (T, N, D)
+    gB = jnp.sum(g * Bm[:, :, None], axis=1)  # (T, D)
+    dda = jnp.sum(common * A[None], axis=1) + gB * u  # (T, D)
+
+    du_ref[0] = da * gB + dsk * dy
+    ddr = dda * sig
+    ddr_ref[0] = ddr
+    db_ref[0] = jnp.sum(g * (da * u)[:, None, :], axis=2)  # (T, N)
+    dc_ref[0] = jnp.sum(dy[:, None, :] * h_all, axis=2)  # (T, N)
+    dA_ref[0] = dA_ref[0] + jnp.sum(common * da[:, None, :], axis=0)
+    ddsk_ref[0, 0] = ddsk_ref[0, 0] + jnp.sum(dy * u, axis=0)
+    dbias_ref[0, 0] = dbias_ref[0, 0] + jnp.sum(ddr, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+def selective_scan_pallas_bwd(u, delta, A, Bs, Cs, D_skip, delta_bias,
+                              carries, dy, chunk=256, sub=8, interpret=False):
+    """Backward pass. Inputs in public layouts + `carries` from the forward
+    kernel and cotangent dy (B, K, L, D). Returns grads for
+    (u, delta, A, Bs, Cs, D_skip, delta_bias)."""
+    B, K, L, D = u.shape
+    N = A.shape[-1]
+    G = B * K
+    f32 = jnp.float32
+
+    pad = (-L) % chunk
+    Lp = L + pad
+
+    def pack_ld(x):
+        x = x.astype(f32).reshape(G, L, x.shape[-1])
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+    u_g = pack_ld(u)
+    dr_g = pack_ld(delta)
+    b_g = pack_ld(Bs)
+    c_g = pack_ld(Cs)
+    dy_g = pack_ld(dy)
+    a_g = jnp.broadcast_to(
+        A.astype(f32).transpose(0, 2, 1)[None], (B, K, N, D)
+    ).reshape(G, N, D)
+    dsk_g = jnp.broadcast_to(D_skip.astype(f32)[None, :, None, :], (B, K, 1, D)).reshape(G, 1, D)
+    bias_g = jnp.broadcast_to(
+        delta_bias.astype(f32)[None, :, None, :], (B, K, 1, D)
+    ).reshape(G, 1, D)
+
+    nc = Lp // chunk
+    grid = (G, nc)
+    # Chunks in REVERSE order: index maps use (nc - 1 - c).
+    ld_r = pl.BlockSpec((1, chunk, D), lambda g, c: (g, nc - 1 - c, 0),
+                        memory_space=pltpu.VMEM)
+    ln_r = pl.BlockSpec((1, chunk, N), lambda g, c: (g, nc - 1 - c, 0),
+                        memory_space=pltpu.VMEM)
+    cr_r = pl.BlockSpec((1, 1, N, D), lambda g, c: (g, nc - 1 - c, 0, 0),
+                        memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, N, D), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, D), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, sub=sub),
+        grid=grid,
+        in_specs=[ld_r, ld_r, ln_r, ln_r, ld_r, cr_r, a_spec, v_spec, v_spec],
+        out_specs=(ld_r, ld_r, ln_r, ln_r, a_spec, v_spec, v_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, D), f32),   # du
+            jax.ShapeDtypeStruct((G, Lp, D), f32),   # ddelta (pre-softplus)
+            jax.ShapeDtypeStruct((G, Lp, N), f32),   # dB
+            jax.ShapeDtypeStruct((G, Lp, N), f32),   # dC
+            jax.ShapeDtypeStruct((G, N, D), f32),    # dA (per stream)
+            jax.ShapeDtypeStruct((G, 1, D), f32),    # dD_skip (per stream)
+            jax.ShapeDtypeStruct((G, 1, D), f32),    # dbias (per stream)
+        ),
+        scratch_shapes=[pltpu.VMEM((N, D), f32)],
+        interpret=interpret,
+    )(u_g, dr_g, b_g, c_g, dy_g, carries, a_g, dsk_g, bias_g)
+
+    du_g, ddr_g, db_g, dc_g, dA_g, ddsk_g, dbias_g = outs
+
+    def unpack_ld(x, F):
+        x = x[:, :L] if pad else x
+        return x.reshape(B, K, L, F)
+
+    du = unpack_ld(du_g, D).astype(u.dtype)
+    ddelta = unpack_ld(ddr_g, D).astype(delta.dtype)
+    dB = unpack_ld(db_g, N).astype(Bs.dtype)
+    dC = unpack_ld(dc_g, N).astype(Cs.dtype)
+    # Per-stream accumulators -> parameter shapes (sum over batch).
+    dA = dA_g.reshape(B, K, N, D).sum(0).transpose(0, 2, 1).astype(A.dtype)
+    dDsk = ddsk_g.reshape(B, K, D).sum(0).astype(D_skip.dtype)
+    dbias = dbias_g.reshape(B, K, D).sum(0).astype(delta_bias.dtype)
+    return du, ddelta, dA, dB, dC, dDsk, dbias

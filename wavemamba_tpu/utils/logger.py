@@ -130,3 +130,25 @@ def get_env_info():
         f"\n\tdevices: {jax.devices()}"
     )
     return msg
+
+
+def init_wandb_logger(opt):
+    """W&B in tensorboard-sync mode (`logger.py:125-143`); gated on the
+    wandb package being installed."""
+    try:
+        import wandb
+    except ImportError as e:
+        raise ImportError("wandb logging requires the 'wandb' package") from e
+    logger = get_root_logger()
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id = resume_id
+        resume = "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id = wandb.util.generate_id()
+        resume = "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt["name"], config=opt,
+               project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
