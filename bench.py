@@ -30,8 +30,10 @@ def main():
     )
 
     mode = os.environ.get("WM_MODE", "fast")
-    if mode == "fast":
+    if mode == "fast":  # Pallas kernel + bf16 convs
         cfg = WaveMambaConfig.fast()
+    elif mode == "fast_xla":  # no Pallas (portable)
+        cfg = WaveMambaConfig.fast_xla()
     else:  # 'parity': full fp32, bit-parity with the reference
         cfg = WaveMambaConfig()
     params = init_wavemamba(jax.random.PRNGKey(0), cfg)

@@ -77,7 +77,9 @@ def main(argv=None):
         batch = img2batch(img)  # (1,H,W,3) RGB float
         t0 = time.time()
         if args.tile:
-            out = tiled_apply(fwd, batch, tile_size=args.tile, pad_multiple=128)
+            # Tiles only need the model's x8 divisibility (whole-image mode
+            # keeps the reference's x128 padding for output parity).
+            out = tiled_apply(fwd, batch, tile_size=args.tile, pad_multiple=8)
         else:
             x, h, w = pad_to_multiple(jnp.asarray(batch), 128)
             out = np.asarray(fwd(x))[:, :h, :w]

@@ -75,10 +75,19 @@ class WaveMambaConfig:
 
     @classmethod
     def fast(cls, **kw):
-        """Tuned TPU inference preset: bf16 convs/matmuls + bf16 parallel
-        scan (softplus/delta still fp32). Measured ~38 dB PSNR vs the fp32
-        parity path (random weights, 512x512) — ~10 dB above the task's
-        output-quality scale (UHD-LL GT PSNR ~27 dB)."""
+        """Tuned TPU inference preset: bf16 convs/matmuls + the fused Pallas
+        scan kernel (fp32 state inside the kernel). 0.343 s @1080p on one
+        v5e — beats the reference GPU's 0.402 s (BENCH_NOTES.md). Requires
+        real TPU hardware; on CPU use the default config or
+        `fast(scan_impl='par')`."""
+        kw.setdefault("scan_impl", "pallas")
+        kw.setdefault("compute_dtype", "bfloat16")
+        return cls(**kw)
+
+    @classmethod
+    def fast_xla(cls, **kw):
+        """Portable fast preset (no Pallas): bf16 + fully-parallel XLA scan
+        with bf16 working arrays. 0.539 s @1080p on v5e."""
         kw.setdefault("scan_impl", "par")
         kw.setdefault("scan_sub", 32)
         kw.setdefault("compute_dtype", "bfloat16")

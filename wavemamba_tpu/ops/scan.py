@@ -18,13 +18,16 @@ Public layouts (K = number of direction groups, 4 for SS2D):
     D_skip, delta_bias : (K, D)
     returns y       : (B, K, L, D)
 
-Three implementations behind one dispatcher:
+Four implementations behind one dispatcher:
   * ``ref``     — step-by-step `lax.scan`; exact, O(L) sequential. Test anchor.
-  * ``chunked`` — `lax.scan` over chunks with a log-depth associative scan
-                  inside each chunk; differentiable, rematerialized per chunk.
-                  Default for training and CPU.
-  * ``pallas``  — fused Pallas TPU kernel (see `scan_pallas.py`); forward is
-                  the kernel, backward replays the chunked impl via custom VJP.
+  * ``chunked`` — `lax.scan` over chunks, two-pass work-efficient inside each
+                  chunk; differentiable, rematerialized per chunk. Default
+                  (bit-parity) implementation.
+  * ``par``     — fully parallel (no sequential chunk loop): subsegment
+                  transitions + log-depth combine + replay. Fastest XLA
+                  variant on TPU; used by `WaveMambaConfig.fast()`.
+  * ``pallas``  — fused Pallas TPU kernel pair (forward + reverse-scan
+                  backward, see `scan_pallas.py`) behind a custom VJP.
 """
 
 from __future__ import annotations

@@ -193,35 +193,55 @@ def selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias,
 # carries a_first*g_first back to the previous (earlier) chunk.
 
 
-def _linscan_values(coef, inp, init, sub):
-    """h_t = coef_t * h_{t-1} + inp_t over axis 0 of (T, N, D) values,
-    h_{-1} = init (N, D). Two-pass subsegment evaluation, returns all h."""
+def _linscan_values(coef, inp, init, sub, reverse=False):
+    """Two-pass subsegment linear scan over axis 0 of (T, N, D) values.
+
+    forward (reverse=False): h_t = coef_t * h_{t-1} + inp_t, h_{-1} = init.
+    reverse (reverse=True):  h_t = coef_t * h_{t+1} + inp_t, h_{T}  = init.
+
+    The reverse mode is written with shifted concatenations instead of array
+    flips — Mosaic has no `rev` lowering.
+    """
     T, N, D = inp.shape
     S = sub
     R = T // S
     c4 = coef.reshape(R, S, N, D)
     i4 = inp.reshape(R, S, N, D)
+    order = range(S) if not reverse else range(S - 1, -1, -1)
+    first = 0 if not reverse else S - 1
 
-    pa = c4[:, 0]
-    pb = i4[:, 0]
-    for i in range(1, S):
+    pa = c4[:, first]
+    pb = i4[:, first]
+    for i in order:
+        if i == first:
+            continue
         pa = pa * c4[:, i]
         pb = c4[:, i] * pb + i4[:, i]
     sa, sb = pa, pb
     s = 1
     while s < R:
-        sa_sh = jnp.concatenate([jnp.ones((s, N, D), sa.dtype), sa[:-s]], axis=0)
-        sb_sh = jnp.concatenate([jnp.zeros((s, N, D), sb.dtype), sb[:-s]], axis=0)
+        ones = jnp.ones((s, N, D), sa.dtype)
+        zeros = jnp.zeros((s, N, D), sb.dtype)
+        if not reverse:  # combine with earlier subsegments (shift down)
+            sa_sh = jnp.concatenate([ones, sa[:-s]], axis=0)
+            sb_sh = jnp.concatenate([zeros, sb[:-s]], axis=0)
+        else:  # combine with later subsegments (shift up)
+            sa_sh = jnp.concatenate([sa[s:], ones], axis=0)
+            sb_sh = jnp.concatenate([sb[s:], zeros], axis=0)
         sb = sb + sa * sb_sh
         sa = sa * sa_sh
         s *= 2
-    ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
-    ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
+    if not reverse:
+        ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
+        ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
+    else:
+        ex_a = jnp.concatenate([sa[1:], jnp.ones((1, N, D), sa.dtype)], axis=0)
+        ex_b = jnp.concatenate([sb[1:], jnp.zeros((1, N, D), sb.dtype)], axis=0)
     h = ex_a * init[None] + ex_b
-    hs = []
-    for i in range(S):
+    hs = [None] * S
+    for i in order:
         h = c4[:, i] * h + i4[:, i]
-        hs.append(h)
+        hs[i] = h
     return jnp.stack(hs, axis=1).reshape(T, N, D)
 
 
@@ -260,14 +280,12 @@ def _scan_bwd_kernel(u_ref, dr_ref, b_ref, c_ref, dy_ref, hin_ref, a_ref,
     h_all = _linscan_values(a_all, b_all, h_in, sub)  # (T, N, D)
     h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
 
-    # Reverse scan for g: in reversed time tau (t = T-1-tau):
-    #   g[tau] = ar[tau] * g[tau-1] + q_r[tau],  g[-1] = carry
-    # with ar[0] = 1 (the carry is pre-multiplied by its own a).
+    # Reverse scan for g: g_t = c_t * g_{t+1} + q_t with c_t = a_{t+1}
+    # (the chunk-boundary coefficient is 1: the carry from the later chunk
+    # arrives pre-multiplied by its own a).
     q = Cm[:, :, None] * dy[:, None, :]  # (T, N, D)
-    a_flip = a_all[::-1]
-    ar = jnp.concatenate([jnp.ones((1, N, D), a_all.dtype), a_flip[:-1]], axis=0)
-    g_rev = _linscan_values(ar, q[::-1], gcar_ref[...], sub)
-    g = g_rev[::-1]  # (T, N, D)
+    c_shift = jnp.concatenate([a_all[1:], jnp.ones((1, N, D), a_all.dtype)], axis=0)
+    g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=True)  # (T, N, D)
     gcar_ref[...] = a_all[0] * g[0]
 
     common = g * h_prev * a_all  # (T, N, D)

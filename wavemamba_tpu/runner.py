@@ -56,6 +56,7 @@ def train_config_from_opt(opt: dict) -> TrainConfig:
         pixel_weight=pix_w,
         fft_weight=fft_w,
         ema_decay=t.get("ema_decay", 0.0),
+        grad_clip=t.get("grad_clip"),
         warmup_iter=t.get("warmup_iter", -1),
     )
 
