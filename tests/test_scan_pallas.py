@@ -4,6 +4,8 @@ On CPU the kernel runs in interpreter mode (same program, no Mosaic); the
 real-TPU compile is exercised by bench.py / the driver's entry check.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +99,28 @@ def test_pallas_forward_carries_consistent():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
     assert carries.shape == (2, 2, 4, 4)  # (G, nc, N, D)
     np.testing.assert_allclose(np.asarray(carries[:, 0]), 0.0, atol=1e-7)
+
+
+def test_fused_kernel_matches_unfused_ss2d():
+    """ss2d with scan_impl='pallas_fused' (interpret) vs 'ref' end to end."""
+    import dataclasses
+
+    from wavemamba_tpu.models import wavemamba as wm
+    from wavemamba_tpu.ops import scan_pallas as sp
+
+    cfg = wm.WaveMambaConfig(wf=16, scan_impl="ref")
+    p = wm.init_ss2d(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 20, 16))
+    y_ref = wm.ss2d_apply(p, cfg, x)
+
+    # Patch the fused entry point to interpret mode for CPU testing.
+    orig = sp.ss2d_scan_fused
+    sp.ss2d_scan_fused = functools.partial(orig, interpret=True, chunk=64, sub=4)
+    try:
+        cfg_f = dataclasses.replace(cfg, scan_impl="pallas_fused")
+        y_fused = wm.ss2d_apply(p, cfg_f, x)
+    finally:
+        sp.ss2d_scan_fused = orig
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), rtol=3e-5, atol=3e-5
+    )

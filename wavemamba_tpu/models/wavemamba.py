@@ -75,12 +75,13 @@ class WaveMambaConfig:
 
     @classmethod
     def fast(cls, **kw):
-        """Tuned TPU inference preset: bf16 convs/matmuls + the fused Pallas
-        scan kernel (fp32 state inside the kernel). 0.343 s @1080p on one
-        v5e — beats the reference GPU's 0.402 s (BENCH_NOTES.md). Requires
-        real TPU hardware; on CPU use the default config or
-        `fast(scan_impl='par')`."""
-        kw.setdefault("scan_impl", "pallas")
+        """Tuned TPU inference preset: bf16 convs/matmuls + the FUSED Pallas
+        kernel (dt/B/C projections + scan in one kernel, fp32 state).
+        0.288 s @1080p / 1.15 s @4K on one v5e — beats the reference GPU's
+        0.402 s @1080p by 1.4x (BENCH_NOTES.md). Inference-only (training
+        uses scan_impl='pallas', the fwd+bwd kernel pair); requires real
+        TPU hardware — on CPU use the default config or fast_xla()."""
+        kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("compute_dtype", "bfloat16")
         return cls(**kw)
 
@@ -163,6 +164,32 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
     xz = linear(p["in_proj"], x)
     xx, z = xz[..., :d], xz[..., d:]
     xx = silu(conv2d(p["conv2d"], xx, padding=(cfg.d_conv - 1) // 2, groups=d))
+
+    if cfg.scan_impl == "pallas_fused":
+        # Fused projections+scan kernel: reads the token stream once per
+        # direction pair, no xs/dts/Bs/Cs materialization (inference only).
+        from wavemamba_tpu.ops.scan_pallas import ss2d_scan_fused
+
+        At = -jnp.exp(p["A_logs"].astype(jnp.float32)).transpose(0, 2, 1)  # (4,N,D)
+        wx_t = p["x_proj_w"].astype(jnp.float32).transpose(0, 2, 1)  # (4,D,34)
+        dtw_t = p["dt_projs_w"].astype(jnp.float32).transpose(0, 2, 1)  # (4,R,D)
+        bias = p["dt_projs_b"].astype(jnp.float32)
+        dsk = p["Ds"].astype(jnp.float32)
+        x0 = xx.reshape(b, h * w, d)
+        xT = xx.transpose(0, 2, 1, 3).reshape(b, h * w, d)
+        # reference direction order: 0=row fwd, 1=col fwd, 2=row rev, 3=col rev
+        pr = ss2d_scan_fused(x0, wx_t[jnp.array([0, 2])], dtw_t[jnp.array([0, 2])],
+                             bias[jnp.array([0, 2])], At[jnp.array([0, 2])],
+                             dsk[jnp.array([0, 2])], chunk=cfg.scan_chunk)
+        pc = ss2d_scan_fused(xT, wx_t[jnp.array([1, 3])], dtw_t[jnp.array([1, 3])],
+                             bias[jnp.array([1, 3])], At[jnp.array([1, 3])],
+                             dsk[jnp.array([1, 3])], chunk=cfg.scan_chunk)
+        y_rows = pr[:, 0] + pr[:, 1]  # (B, L, D)
+        y_cols = (pc[:, 0] + pc[:, 1]).reshape(b, w, h, d).transpose(0, 2, 1, 3)
+        y = (y_rows.reshape(b, h, w, d) + y_cols).astype(x.dtype)
+        y = layer_norm(p["out_norm"], y, eps=1e-5)
+        y = y * silu(z)
+        return linear(p["out_proj"], y)
 
     xs = _scan_directions(xx)  # (B, 4, L, D)
     # Per-direction input projections -> (dt, B, C) with stacked weights.

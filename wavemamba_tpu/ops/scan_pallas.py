@@ -378,3 +378,161 @@ def selective_scan_pallas_bwd(u, delta, A, Bs, Cs, D_skip, delta_bias,
     dDsk = ddsk_g.reshape(B, K, D).sum(0).astype(D_skip.dtype)
     dbias = dbias_g.reshape(B, K, D).sum(0).astype(delta_bias.dtype)
     return du, ddelta, dA, dB, dC, dDsk, dbias
+
+
+# ---------------------------------------------------------------------------
+# FUSED SS2D kernel: dt/B/C projections + softplus + scan + D-skip in one
+# pallas_call, two directions (forward + reverse) per call.
+#
+# The unfused path materializes xs/dts/Bs/Cs (4 direction copies of the
+# token stream) in HBM before scanning. Here each call reads the token
+# stream ONCE per direction pair and computes everything in VMEM:
+#   x_dbl = x @ Wx_k   (MXU; Wx pre-transposed (D, R+2N))
+#   dt    = x_dbl[:, :R] @ dtw_k          B = x_dbl[:, R:R+N]   C = rest
+#   da    = softplus(dt + bias_k)
+#   scan  forward (k2=0) or REVERSE (k2=1) — reversal is done by running
+#          the in-chunk scan backwards over reverse-ordered chunks, so no
+#          array flip is ever materialized (Mosaic has no `rev`) and the
+#          y output lands in original token order for free.
+# Inference path (used by ss2d_apply for scan_impl='pallas'); training
+# flows through the unfused fwd+bwd kernel pair above.
+
+
+def _fused_kernel(x_ref, wx_ref, dtw_ref, bias_ref, a_ref, dsk_ref, y_ref,
+                  h_ref, *, sub, nc, dt_rank, d_state):
+    k2 = pl.program_id(1)
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (T, D)
+    T, D = x.shape
+    N = d_state
+    R = dt_rank
+    wx = wx_ref[0]  # (D, R+2N)
+    dtw = dtw_ref[0]  # (R, D)
+    bias = bias_ref[0]  # (1, D)
+    A = a_ref[0]  # (N, D)
+    dsk = dsk_ref[0]  # (1, D)
+
+    x_dbl = jnp.dot(x, wx, preferred_element_type=jnp.float32)  # (T, R+2N)
+    da = jax.nn.softplus(
+        jnp.dot(x_dbl[:, :R], dtw, preferred_element_type=jnp.float32) + bias
+    )  # (T, D)
+    Bm = x_dbl[:, R : R + N]  # (T, N)
+    Cm = x_dbl[:, R + N :]  # (T, N)
+
+    S = sub
+    Rr = T // S
+    u4 = x.reshape(Rr, S, D)
+    da4 = da.reshape(Rr, S, D)
+    B4 = Bm.reshape(Rr, S, N)
+    C4 = Cm.reshape(Rr, S, N)
+
+    def step_ab(i):
+        dai = da4[:, i, :][:, None, :]
+        ai = jnp.exp(dai * A[None])
+        bi = (dai * u4[:, i, :][:, None, :]) * B4[:, i, :][:, :, None]
+        return ai, bi
+
+    def scan_dir(rev):
+        order = list(range(S)) if not rev else list(range(S - 1, -1, -1))
+        pa, pb = step_ab(order[0])
+        for i in order[1:]:
+            ai, bi = step_ab(i)
+            pa = pa * ai
+            pb = ai * pb + bi
+        sa, sb = pa, pb
+        s = 1
+        while s < Rr:
+            ones = jnp.ones((s, N, D), sa.dtype)
+            zeros = jnp.zeros((s, N, D), sb.dtype)
+            if not rev:
+                sa_sh = jnp.concatenate([ones, sa[:-s]], axis=0)
+                sb_sh = jnp.concatenate([zeros, sb[:-s]], axis=0)
+            else:
+                sa_sh = jnp.concatenate([sa[s:], ones], axis=0)
+                sb_sh = jnp.concatenate([sb[s:], zeros], axis=0)
+            sb = sb + sa * sb_sh
+            sa = sa * sa_sh
+            s *= 2
+        h0 = h_ref[...]
+        if not rev:
+            ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
+            ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
+            h_last = sa[Rr - 1] * h0 + sb[Rr - 1]
+        else:
+            ex_a = jnp.concatenate([sa[1:], jnp.ones((1, N, D), sa.dtype)], axis=0)
+            ex_b = jnp.concatenate([sb[1:], jnp.zeros((1, N, D), sb.dtype)], axis=0)
+            h_last = sa[0] * h0 + sb[0]
+        H = ex_a * h0[None] + ex_b
+        h = H
+        ys = [None] * S
+        for i in order:
+            ai, bi = step_ab(i)
+            h = ai * h + bi
+            yi = jnp.sum(h * C4[:, i, :][:, :, None], axis=1)
+            ys[i] = yi + dsk * u4[:, i, :]
+        return jnp.stack(ys, axis=1).reshape(T, D), h_last
+
+    y, h_last = jax.lax.cond(
+        k2 == 1, lambda: scan_dir(True), lambda: scan_dir(False)
+    )
+    y_ref[0, 0] = y
+    h_ref[...] = h_last
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
+                    interpret=False):
+    """Fused projection+scan for ONE direction pair.
+
+    x_tokens: (B, L, D) token stream (row-major or transposed, per pair).
+    wx: (2, D, R+2N) stacked projection weights for [forward, reverse];
+    dtw: (2, R, D); bias/dsk: (2, D); A: (2, N, D) (negative).
+    Returns y: (B, 2, L, D) — forward-scan and reverse-scan outputs, both
+    in original token order.
+    """
+    B, L, D = x_tokens.shape
+    _, N, _ = A.shape  # (2, N, D)
+    Rk = dtw.shape[1]
+    f32 = jnp.float32
+
+    pad = (-L) % chunk
+    Lp = L + pad
+    x_p = jnp.pad(x_tokens, ((0, 0), (0, pad), (0, 0))) if pad else x_tokens
+    nc = Lp // chunk
+    grid = (B, 2, nc)
+
+    def x_index(b, k2, c):
+        # forward pair member reads chunks in order; reverse member reads
+        # them back-to-front (the in-chunk scan also runs backwards).
+        return (b, jnp.where(k2 == 0, c, nc - 1 - c), 0)
+
+    x_spec = pl.BlockSpec((1, chunk, D), x_index, memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((1, 1, chunk, D),
+                          lambda b, k2, c: (b, k2, jnp.where(k2 == 0, c, nc - 1 - c), 0),
+                          memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((1,) + wx.shape[1:], lambda b, k2, c: (k2, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dtw_spec = pl.BlockSpec((1,) + dtw.shape[1:], lambda b, k2, c: (k2, 0, 0),
+                            memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, D), lambda b, k2, c: (k2, 0, 0),
+                          memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, N, D), lambda b, k2, c: (k2, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_fused_kernel, sub=sub, nc=nc, dt_rank=Rk, d_state=N),
+        grid=grid,
+        in_specs=[x_spec, wx_spec, dtw_spec, v_spec, a_spec, v_spec],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 2, Lp, D), f32),
+        scratch_shapes=[pltpu.VMEM((N, D), f32)],
+        interpret=interpret,
+    )(x_p, wx.astype(f32), dtw.astype(f32),
+      bias.astype(f32)[:, None, :], A.astype(f32), dsk.astype(f32)[:, None, :])
+
+    return y[:, :, :L] if pad else y
