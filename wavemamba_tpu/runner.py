@@ -160,7 +160,9 @@ class RestorationModel:
             gt = batch.get("gt")
             out = self.test(lq)
             sr_img = batch2img(out)
-            if save_img:
+            from wavemamba_tpu.parallel.dist import is_master
+
+            if save_img and is_master():
                 img_name = os.path.splitext(os.path.basename(batch["lq_path"][0]))[0]
                 save_path = os.path.join(
                     self.opt["path"]["visualization"], f"{img_name}_{current_iter}.png"
