@@ -73,3 +73,15 @@ def test_save_checkpoint_paths(tmp_path):
     from wavemamba_tpu.train.checkpoint import find_resume_state
 
     assert find_resume_state(str(tmp_path / "states")).endswith("7")
+
+
+def test_runner_with_art_arch(tmp_path):
+    """The runner must work with the secondary ART architecture too."""
+    opt = _opt(tmp_path)
+    opt["network_g"] = {"type": "ART", "dim": 8, "n_blocks": 1, "num_heads": 2,
+                        "window_size": 4, "interval": 8, "upscaling_factor": 2}
+    model = build_model(opt)
+    out = model.test(np.random.RandomState(2).rand(1, 16, 24, 3).astype(np.float32),
+                     pad_multiple=2)
+    assert out.shape == (1, 16, 24, 3)
+    assert np.isfinite(out).all()

@@ -53,12 +53,15 @@ def load_network(path: str, template=None):
     if template is not None:
         return ckptr.restore(path, item=template)
     # No template: rebuild the tree structure from checkpoint metadata and
-    # let orbax read sharding info from the sharding file.
+    # restore onto the CURRENT default device (the sharding recorded in the
+    # checkpoint may reference another platform — e.g. saved on CPU,
+    # restored on TPU).
     import jax
 
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     meta_tree = ckptr.metadata(path).item_metadata.tree
     restore_args = jax.tree_util.tree_map(
-        lambda m: ocp.RestoreArgs(restore_type=None), meta_tree
+        lambda m: ocp.ArrayRestoreArgs(sharding=dev), meta_tree
     )
     return ckptr.restore(path, restore_args=restore_args)
 
