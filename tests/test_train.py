@@ -36,6 +36,19 @@ def test_cosine_cyclic_matches_reference_formula():
         np.testing.assert_allclose(float(sched(s)), ref(s), rtol=1e-5)
 
 
+def test_cosine_cyclic_restart_boundary():
+    """At a step exactly on a restart boundary the reference's
+    get_position_from_periods (`iteration <= period`) keeps the OLD period:
+    lr(step=100) with periods [100, X] is eta_mins[0], not the restarted
+    peak base_lr*weight[1]."""
+    sched = cosine_annealing_restart_cyclic(
+        1e-3, [100, 900], [1.0, 0.5], [1e-5, 1e-7]
+    )
+    np.testing.assert_allclose(float(sched(100)), 1e-5, rtol=1e-5)
+    # one step later we are in period 1 at its start (frac tiny, lr near peak)
+    assert float(sched(101)) > 1e-4
+
+
 def test_multistep_restart():
     sched = multistep_restart(1.0, milestones=[10, 20], gamma=0.1)
     assert float(sched(0)) == 1.0

@@ -106,6 +106,18 @@ class ThreadedLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks `stop` so an abandoned consumer
+            (e.g. train loop break at total_iters) can't leave the worker
+            blocked forever on a full queue."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -115,11 +127,12 @@ class ThreadedLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(_collate(items))
+                        if not put_or_stop(_collate(items)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -138,16 +151,29 @@ class ThreadedLoader:
 def device_prefetch(iterator, sharding=None, depth=2):
     """Keep `depth` batches in flight on device (double-buffering).
 
-    Array leaves are device_put (optionally with a NamedSharding); non-array
-    leaves pass through untouched.
+    Array leaves are placed on device (optionally with a NamedSharding);
+    non-array leaves pass through untouched. With a sharding, each process
+    contributes its PROCESS-LOCAL batch and the global array is assembled
+    via `jax.make_array_from_process_local_data` — on a single host this
+    degenerates to a plain sharded device_put, on multi-host it avoids
+    device_put of a local array onto a non-fully-addressable sharding.
     """
     import collections
+
+    multiproc = jax.process_count() > 1
+
+    def put_leaf(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, v)
+        return jax.device_put(v, sharding)
 
     def put(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
-                out[k] = jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+                out[k] = put_leaf(v)
             else:
                 out[k] = v
         return out

@@ -17,6 +17,7 @@ from wavemamba_tpu.losses.losses import (
     r1_penalty,
     ssim,
     ssim_loss,
+    uhd_loss,
     weighted_tv_loss,
 )
 
@@ -61,4 +62,5 @@ __all__ = [
     "r1_penalty",
     "g_path_regularize",
     "gradient_penalty_loss",
+    "uhd_loss",
 ]

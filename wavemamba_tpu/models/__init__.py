@@ -55,24 +55,31 @@ def _build_art(**kw):
 
 
 def init_for(cfg):
-    """Config object -> init function (keyed by config type)."""
+    """Config object -> init function (keyed by config type). Custom archs
+    can expose `init_fn(key, cfg) -> params` on the config object."""
     from wavemamba_tpu.models.art import ARTConfig, init_art
 
     if isinstance(cfg, WaveMambaConfig):
         return init_wavemamba
     if isinstance(cfg, ARTConfig):
         return init_art
+    if hasattr(cfg, "init_fn"):
+        return cfg.init_fn
     raise TypeError(f"no init for config type {type(cfg).__name__}")
 
 
 def apply_for(cfg):
-    """Config object -> apply function (params, cfg, x) -> y."""
+    """Config object -> apply function (params, cfg, x) -> y. Custom archs
+    can expose `apply_fn(params, cfg, x)` on the config object; a
+    two-output apply returning (out, out8) enables UHDModel training."""
     from wavemamba_tpu.models.art import ARTConfig, art_apply
 
     if isinstance(cfg, WaveMambaConfig):
         return wavemamba_apply
     if isinstance(cfg, ARTConfig):
         return art_apply
+    if hasattr(cfg, "apply_fn"):
+        return cfg.apply_fn
     raise TypeError(f"no apply for config type {type(cfg).__name__}")
 
 

@@ -77,10 +77,19 @@ class WaveMambaConfig:
     def fast(cls, **kw):
         """Tuned TPU inference preset: bf16 convs/matmuls + the FUSED Pallas
         kernel (dt/B/C projections + scan in one kernel, fp32 state).
-        0.288 s @1080p / 1.15 s @4K on one v5e — beats the reference GPU's
-        0.402 s @1080p by 1.4x (BENCH_NOTES.md). Inference-only (training
-        uses scan_impl='pallas', the fwd+bwd kernel pair); requires real
-        TPU hardware — on CPU use the default config or fast_xla()."""
+        0.282-0.285 s @1080p / 1.15 s @4K on one v5e — beats the reference
+        GPU's 0.402 s @1080p by ~1.4x (BENCH_NOTES.md). Inference-only
+        (training uses scan_impl='pallas', the fwd+bwd kernel pair). Mosaic
+        kernels only compile on TPU backends, so on CPU/GPU this silently
+        degrades to the portable `fast_xla()` preset instead of crashing."""
+        import jax
+
+        try:
+            backend = jax.default_backend()
+        except Exception:  # backend init failure — be conservative
+            backend = "cpu"
+        if backend in ("cpu", "gpu", "cuda", "rocm"):
+            return cls.fast_xla(**kw)
         kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("compute_dtype", "bfloat16")
         return cls(**kw)

@@ -394,8 +394,9 @@ def selective_scan_pallas_bwd(u, delta, A, Bs, Cs, D_skip, delta_bias,
 #          the in-chunk scan backwards over reverse-ordered chunks, so no
 #          array flip is ever materialized (Mosaic has no `rev`) and the
 #          y output lands in original token order for free.
-# Inference path (used by ss2d_apply for scan_impl='pallas'); training
-# flows through the unfused fwd+bwd kernel pair above.
+# Inference path (used by ss2d_apply for scan_impl='pallas_fused', the
+# `fast()` preset); scan_impl='pallas' and training flow through the
+# unfused fwd+bwd custom-VJP kernel pair above.
 
 
 def _fused_kernel(x_ref, wx_ref, dtw_ref, bias_ref, a_ref, dsk_ref, y_ref,

@@ -43,10 +43,15 @@ def create_train_val_dataloader(opt, mesh, logger):
             sampler = EnlargedSampler(
                 len(train_set), jax.process_count(), jax.process_index(), ratio
             )
+            # Each process decodes only its local shard of the global batch
+            # (batch_size_per_gpu * local devices); device_prefetch assembles
+            # the global array across processes. global_batch is the optics
+            # number (iters/epoch, logging).
             global_batch = dataset_opt.get("batch_size_per_gpu", 1) * n_dev
+            local_batch = dataset_opt.get("batch_size_per_gpu", 1) * jax.local_device_count()
             train_loader = ThreadedLoader(
                 train_set,
-                batch_size=global_batch,
+                batch_size=local_batch,
                 sampler=sampler,
                 num_workers=dataset_opt.get("num_worker_per_gpu", 4),
                 drop_last=True,

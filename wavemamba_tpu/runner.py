@@ -40,7 +40,7 @@ from wavemamba_tpu.utils.img_util import batch2img, imwrite
 from wavemamba_tpu.utils.logger import get_root_logger
 
 
-def train_config_from_opt(opt: dict) -> TrainConfig:
+def train_config_from_opt(opt: dict, loss_mode: str = "l1fft") -> TrainConfig:
     t = opt.get("train", {})
     optim = t.get("optim_g", {})
     sched = dict(t.get("scheduler", {})) or None
@@ -49,6 +49,7 @@ def train_config_from_opt(opt: dict) -> TrainConfig:
         fft_w = t["fft_opt"].get("loss_weight", 0.1)
     pix_w = (t.get("pixel_opt") or {}).get("loss_weight", 1.0)
     return TrainConfig(
+        loss_mode=loss_mode,
         lr=optim.get("lr", 5e-4),
         weight_decay=optim.get("weight_decay", 1e-3),
         betas=tuple(optim.get("betas", (0.9, 0.99))),
@@ -64,12 +65,13 @@ def train_config_from_opt(opt: dict) -> TrainConfig:
 class RestorationModel:
     """The `model_type: FeMaSRModel` equivalent."""
 
-    def __init__(self, opt: dict, mesh=None):
+    def __init__(self, opt: dict, mesh=None, loss_mode: str = "l1fft"):
         self.opt = opt
         self.mesh = mesh
         self.logger = get_root_logger()
         self.cfg = build_network(opt["network_g"])
         self.is_train = opt.get("is_train", False)
+        self.loss_mode = loss_mode
 
         seed = opt.get("manual_seed", 0) or 0
         self.params = init_for(self.cfg)(jax.random.PRNGKey(seed), self.cfg)
@@ -82,7 +84,7 @@ class RestorationModel:
         self.state = None
         self.train_step = None
         if self.is_train:
-            self.tcfg = train_config_from_opt(opt)
+            self.tcfg = train_config_from_opt(opt, loss_mode=loss_mode)
             self.state = create_train_state(self.params, self.tcfg)
             self.train_step = make_train_step(self.cfg, self.tcfg, mesh)
             self.params = None  # lives inside state now (donated per step)
@@ -106,11 +108,12 @@ class RestorationModel:
         return self.state["params"]
 
     def current_lr(self, step=None):
-        from wavemamba_tpu.train.trainer import make_optimizer
+        if not hasattr(self, "_lr_fn"):
+            from wavemamba_tpu.train.trainer import make_optimizer
 
-        _, lr = make_optimizer(self.tcfg)
+            _, self._lr_fn = make_optimizer(self.tcfg)
         s = int(self.state["step"]) if step is None else step
-        return float(lr(s)) if callable(lr) else float(lr)
+        return float(self._lr_fn(s)) if callable(self._lr_fn) else float(self._lr_fn)
 
     # ------------------------------------------------------------------- eval
     def _eval_fn(self, shape):
@@ -140,6 +143,8 @@ class RestorationModel:
             )
         x, oh, ow = pad_to_multiple(jnp.asarray(lq_np), pad_multiple)
         out = self._eval_fn(tuple(x.shape))(params, x)
+        if isinstance(out, (tuple, list)):  # two-output nets (UHDModel): keep
+            out = out[0]  # the full-res output (`uhdfour_model.py:200`)
         return np.asarray(out)[:, :oh, :ow]
 
     def validation(self, dataloader, current_iter, save_img=False):
@@ -216,8 +221,16 @@ class RestorationModel:
 
 
 def build_model(opt: dict, mesh=None):
-    """`model_type` dispatch (`basicsr/models/__init__.py:19`)."""
+    """`model_type` dispatch (`basicsr/models/__init__.py:19`).
+
+    UHDModel gets the UHDFour training semantics (L1 + 0.0004*(1-SSIM) +
+    0.1*L1@1/8 [+FFT], `uhdfour_model.py:157-186`) and requires a network
+    whose apply returns (out, out8) — single-output nets raise at the first
+    train step, matching the reference's unpack failure at
+    `uhdfour_model.py:164`."""
     mtype = opt.get("model_type", "FeMaSRModel")
-    if mtype in ("FeMaSRModel", "UHDModel", "RestorationModel"):
+    if mtype in ("FeMaSRModel", "RestorationModel"):
         return RestorationModel(opt, mesh=mesh)
+    if mtype == "UHDModel":
+        return RestorationModel(opt, mesh=mesh, loss_mode="uhd")
     raise KeyError(f"Unknown model_type {mtype!r}")

@@ -20,9 +20,13 @@ import numpy as np
 
 
 def _period_index(cumulative, step):
-    """Index of the first cumulative period boundary > step (clipped)."""
+    """Index of the period containing `step`. The reference's
+    `get_position_from_periods` (lr_scheduler.py:36-54) tests
+    `iteration <= cumulative_period[i]`, so a step landing exactly on a
+    restart boundary still belongs to the OLD period (lr = eta_min there,
+    not the restarted peak) — hence strict `>` here."""
     cum = jnp.asarray(cumulative)
-    return jnp.clip(jnp.sum(step >= cum), 0, len(cumulative) - 1)
+    return jnp.clip(jnp.sum(step > cum), 0, len(cumulative) - 1)
 
 
 def cosine_annealing_restart_cyclic(base_lr, periods, restart_weights=None, eta_mins=None):

@@ -43,6 +43,11 @@ class TrainConfig:
     ema_decay: float = 0.0  # 0 disables EMA (reference default; >0 enables)
     grad_clip: float | None = None
     warmup_iter: int = -1  # linear LR warmup (`base_model.py:188-209`); -1 off
+    # 'l1fft' = FeMaSRModel semantics (L1 + weighted FFT,
+    # `femasr_model.py:157-185`); 'uhd' = UHDModel semantics
+    # (`uhdfour_model.py:157-186`: L1 + 0.0004*(1-SSIM) + 0.1*L1@1/8 [+FFT]),
+    # which requires a TWO-OUTPUT network apply: (out, out8).
+    loss_mode: str = "l1fft"
 
 
 def make_optimizer(tcfg: TrainConfig):
@@ -83,10 +88,27 @@ def create_train_state(params, tcfg: TrainConfig):
 
 
 def loss_fn(params, cfg, tcfg: TrainConfig, lq, gt):
-    """L1 + weighted FFT loss; returns (total, metrics dict)."""
+    """Training loss; returns (total, metrics dict). Dispatches on
+    tcfg.loss_mode (see TrainConfig)."""
     from wavemamba_tpu.models import apply_for
 
     out = apply_for(cfg)(params, cfg, lq)
+    if tcfg.loss_mode == "uhd":
+        from wavemamba_tpu.losses import uhd_loss
+
+        if not (isinstance(out, (tuple, list)) and len(out) == 2):
+            raise TypeError(
+                "UHDModel loss requires a two-output network apply "
+                "(out, out8) — the reference UHDModel unpacks "
+                "`self.output, self.output8 = self.net_g(self.lq)` "
+                f"(uhdfour_model.py:164); {type(cfg).__name__} returned a "
+                "single output. Use model_type: FeMaSRModel for this arch."
+            )
+        total, metrics = uhd_loss(out[0], out[1], gt, fft_weight=tcfg.fft_weight)
+        metrics["total"] = total
+        return total, metrics
+    if isinstance(out, (tuple, list)):
+        out = out[0]
     l_pix = l1_loss(out, gt, loss_weight=tcfg.pixel_weight)
     total = l_pix
     metrics = {"l1": l_pix}
