@@ -75,6 +75,21 @@ def test_save_checkpoint_paths(tmp_path):
     assert find_resume_state(str(tmp_path / "states")).endswith("7")
 
 
+def test_validation_sharding_covers_disjoint_halves(tmp_path):
+    """Sharded validation (beyond the reference's single-GPU-only
+    `femasr_model.py:201-204`): two shards must evaluate disjoint halves
+    whose combined mean equals the unsharded run."""
+    model = build_model(_opt(tmp_path))
+    full, _ = model.validation(_fake_loader(4), current_iter=1)
+    model.best_metric_results.clear()
+    s0, _ = model.validation(_fake_loader(4), current_iter=1, num_shards=2, shard_id=0)
+    model.best_metric_results.clear()
+    s1, _ = model.validation(_fake_loader(4), current_iter=1, num_shards=2, shard_id=1)
+    # equal-sized shards of a 4-image set: global mean = mean of shard means
+    assert full["psnr"] == pytest.approx((s0["psnr"] + s1["psnr"]) / 2, abs=1e-9)
+    assert s0["psnr"] != pytest.approx(s1["psnr"], abs=1e-12)  # different images
+
+
 def test_uhd_model_rejects_single_output_net(tmp_path):
     """model_type: UHDModel with a single-output arch (WaveMamba) must fail
     LOUDLY at the first step — the reference unpacks two outputs at

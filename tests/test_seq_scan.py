@@ -1,0 +1,37 @@
+"""Sequence-sharded scan over an 8-virtual-device mesh vs the single-device
+scan (exactness of the mesh-level two-pass carry handoff)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavemamba_tpu.ops.scan import selective_scan_chunked, selective_scan_ref
+from wavemamba_tpu.parallel.mesh import make_mesh
+from wavemamba_tpu.parallel.seq_scan import selective_scan_seq_sharded
+
+from tests.test_scan import _rand_inputs
+
+
+def test_seq_sharded_matches_single_device():
+    args = _rand_inputs(jax.random.PRNGKey(0), b=2, k=2, l=256, d=8, n=4)
+    mesh = make_mesh(8)
+    y_mesh = selective_scan_seq_sharded(*args, mesh=mesh, chunk=16)
+    y_ref = selective_scan_ref(*args)
+    np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_seq_sharded_long_state_dependence():
+    """A decay near 1 makes h depend on tokens many shards back — the carry
+    handoff must propagate across every shard boundary."""
+    u, delta, A, Bs, Cs, D_skip, delta_bias = _rand_inputs(
+        jax.random.PRNGKey(1), b=1, k=1, l=512, d=4, n=2
+    )
+    A = -jnp.abs(A) * 0.01  # slow decay: long memory
+    mesh = make_mesh(8)
+    y_mesh = selective_scan_seq_sharded(u, delta, A, Bs, Cs, D_skip,
+                                        delta_bias, mesh=mesh, chunk=32)
+    y_one = selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias,
+                                   chunk=32)
+    np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_one),
+                               rtol=3e-5, atol=3e-5)

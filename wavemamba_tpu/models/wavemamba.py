@@ -176,8 +176,11 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
 
     if cfg.scan_impl == "pallas_fused":
         # Fused projections+scan kernel: reads the token stream once per
-        # direction pair, no xs/dts/Bs/Cs materialization (inference only).
-        from wavemamba_tpu.ops.scan_pallas import ss2d_scan_fused
+        # direction pair, no xs/dts/Bs/Cs materialization. Differentiable —
+        # the custom VJP dispatches the fused backward kernel, so training
+        # gets the same read-once property (chunk-entry carries are the
+        # only extra residual).
+        from wavemamba_tpu.ops.scan_pallas import ss2d_scan_fused_diff
 
         At = -jnp.exp(p["A_logs"].astype(jnp.float32)).transpose(0, 2, 1)  # (4,N,D)
         wx_t = p["x_proj_w"].astype(jnp.float32).transpose(0, 2, 1)  # (4,D,34)
@@ -187,12 +190,12 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
         x0 = xx.reshape(b, h * w, d)
         xT = xx.transpose(0, 2, 1, 3).reshape(b, h * w, d)
         # reference direction order: 0=row fwd, 1=col fwd, 2=row rev, 3=col rev
-        pr = ss2d_scan_fused(x0, wx_t[jnp.array([0, 2])], dtw_t[jnp.array([0, 2])],
-                             bias[jnp.array([0, 2])], At[jnp.array([0, 2])],
-                             dsk[jnp.array([0, 2])], chunk=cfg.scan_chunk)
-        pc = ss2d_scan_fused(xT, wx_t[jnp.array([1, 3])], dtw_t[jnp.array([1, 3])],
-                             bias[jnp.array([1, 3])], At[jnp.array([1, 3])],
-                             dsk[jnp.array([1, 3])], chunk=cfg.scan_chunk)
+        pr = ss2d_scan_fused_diff(x0, wx_t[jnp.array([0, 2])], dtw_t[jnp.array([0, 2])],
+                                  bias[jnp.array([0, 2])], At[jnp.array([0, 2])],
+                                  dsk[jnp.array([0, 2])], cfg.scan_chunk)
+        pc = ss2d_scan_fused_diff(xT, wx_t[jnp.array([1, 3])], dtw_t[jnp.array([1, 3])],
+                                  bias[jnp.array([1, 3])], At[jnp.array([1, 3])],
+                                  dsk[jnp.array([1, 3])], cfg.scan_chunk)
         y_rows = pr[:, 0] + pr[:, 1]  # (B, L, D)
         y_cols = (pc[:, 0] + pc[:, 1]).reshape(b, w, h, d).transpose(0, 2, 1, 3)
         y = (y_rows.reshape(b, h, w, d) + y_cols).astype(x.dtype)

@@ -139,8 +139,12 @@ def _chunk_body(h0, u, da, bmat, cmat, A, D_skip):
 
 
 def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256,
-                           scan_dtype=jnp.float32):
-    """Chunked scan: sequential over chunks, parallel (log-depth) inside."""
+                           scan_dtype=jnp.float32, h0=None, return_final=False):
+    """Chunked scan: sequential over chunks, parallel (log-depth) inside.
+
+    h0: optional entry state (B, K, D, N) — used by the sequence-sharded
+    mesh scan, which corrects each shard's local scan with the carry from
+    the shard before it. return_final=True also returns the exit state."""
     B, K, L, D = u.shape
     N = A.shape[-1]
     f = scan_dtype
@@ -175,13 +179,21 @@ def selective_scan_chunked(u, delta, A, Bs, Cs, D_skip, delta_bias, chunk=256,
         h, y = body(h, cu, cda, cb, cc, A, D_skip)
         return h, y
 
-    h0 = jnp.zeros((B, K, D, N), f)
-    _, ys = jax.lax.scan(scan_step, h0, (to_chunks(u), to_chunks(da), to_chunks(Bs), to_chunks(Cs)))
+    if h0 is None:
+        h0 = jnp.zeros((B, K, D, N), f)
+    else:
+        h0 = h0.astype(f)
+    h_last, ys = jax.lax.scan(
+        scan_step, h0, (to_chunks(u), to_chunks(da), to_chunks(Bs), to_chunks(Cs))
+    )
     # ys: (nc, B, K, T, D) -> (B, K, Lp, D)
     # Output stays in scan_dtype; callers cast (avoids a full-size f32
     # round trip in bf16 mode).
     y = jnp.moveaxis(ys, 0, 2).reshape(B, K, Lp, D)
-    return y[:, :, :L]
+    y = y[:, :, :L]
+    if return_final:
+        return y, h_last
+    return y
 
 
 def selective_scan_par(u, delta, A, Bs, Cs, D_skip, delta_bias, sub=16,

@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -382,119 +383,156 @@ def selective_scan_pallas_bwd(u, delta, A, Bs, Cs, D_skip, delta_bias,
 
 # ---------------------------------------------------------------------------
 # FUSED SS2D kernel: dt/B/C projections + softplus + scan + D-skip in one
-# pallas_call, two directions (forward + reverse) per call.
+# pallas_call, BOTH directions of a pair computed simultaneously.
 #
 # The unfused path materializes xs/dts/Bs/Cs (4 direction copies of the
 # token stream) in HBM before scanning. Here each call reads the token
-# stream ONCE per direction pair and computes everything in VMEM:
-#   x_dbl = x @ Wx_k   (MXU; Wx pre-transposed (D, R+2N))
-#   dt    = x_dbl[:, :R] @ dtw_k          B = x_dbl[:, R:R+N]   C = rest
-#   da    = softplus(dt + bias_k)
-#   scan  forward (k2=0) or REVERSE (k2=1) — reversal is done by running
-#          the in-chunk scan backwards over reverse-ordered chunks, so no
-#          array flip is ever materialized (Mosaic has no `rev`) and the
-#          y output lands in original token order for free.
-# Inference path (used by ss2d_apply for scan_impl='pallas_fused', the
-# `fast()` preset); scan_impl='pallas' and training flow through the
-# unfused fwd+bwd custom-VJP kernel pair above.
+# stream once per direction pair and computes everything in VMEM.
+#
+# Lane packing (the v5e-specific part): with D=64 channels, a
+# one-direction-at-a-time kernel leaves half of every 128-lane vector
+# register empty. This kernel packs the forward direction in lanes [:D]
+# and the reverse direction in lanes [D:] of (Rr, N, 2D) work arrays, so
+# the VPU runs at full width. The reverse direction's tokens are reversed
+# on entry with an antidiagonal-permutation matmul (MXU, exact: each
+# output is 1.0 * one input) and its y is un-reversed the same way — after
+# that BOTH halves scan forward and the scan code is direction-uniform
+# (no lax.cond, no flips; Mosaic has no `rev` lowering).
+#
+# Grid step (b, c): forward half processes chunk c, reverse half processes
+# chunk nc-1-c (its own processing order), each chaining its own half of
+# the (N, 2D) VMEM state. Per-step transitions (a_i, b_i) from pass 1 are
+# kept live in VMEM and reused in pass 2 — halves the exp() count vs
+# recomputing (exp dominates the VPU op budget).
 
 
-def _fused_kernel(x_ref, wx_ref, dtw_ref, bias_ref, a_ref, dsk_ref, y_ref,
-                  h_ref, *, sub, nc, dt_rank, d_state):
-    k2 = pl.program_id(1)
-    c_idx = pl.program_id(2)
+def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
+                  a2_ref, dsk2_ref, y0_ref, y1_ref, *rest,
+                  sub, nc, dt_rank, d_state, with_carries=False):
+    if with_carries:
+        cr_ref, h_ref = rest
+    else:
+        (h_ref,) = rest
+        cr_ref = None
+    c_idx = pl.program_id(1)
 
     @pl.when(c_idx == 0)
     def _():
         h_ref[...] = jnp.zeros_like(h_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # (T, D)
-    T, D = x.shape
+    if cr_ref is not None:
+        # chunk-ENTRY state in processing order — residual for the backward.
+        cr_ref[0, 0] = h_ref[...]
+
+    f32 = jnp.float32
+
+    def permute(P, v):
+        # Exact reversal: Mosaic's default f32 dot is single-pass bf16
+        # (measured 2e-3 error); HIGHEST multi-pass recombines x exactly
+        # when every product is 1.0 * x (verified 0.0 error on v5e).
+        return jax.lax.dot_general(
+            P, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+
+    xf = xf_ref[0].astype(f32)  # (T, D) chunk c, token order
+    P = perm_ref[...]  # (T, T) antidiagonal
+    # chunk nc-1-c with tokens reversed -> this half scans forward too.
+    xr = permute(P, xr_ref[0].astype(f32))
+    T, D = xf.shape
     N = d_state
     R = dt_rank
-    wx = wx_ref[0]  # (D, R+2N)
-    dtw = dtw_ref[0]  # (R, D)
-    bias = bias_ref[0]  # (1, D)
-    A = a_ref[0]  # (N, D)
-    dsk = dsk_ref[0]  # (1, D)
+    A2 = a2_ref[...]  # (N, 2D)
+    dsk2 = dsk2_ref[...]  # (1, 2D)
 
-    x_dbl = jnp.dot(x, wx, preferred_element_type=jnp.float32)  # (T, R+2N)
-    da = jax.nn.softplus(
-        jnp.dot(x_dbl[:, :R], dtw, preferred_element_type=jnp.float32) + bias
-    )  # (T, D)
-    Bm = x_dbl[:, R : R + N]  # (T, N)
-    Cm = x_dbl[:, R + N :]  # (T, N)
+    def project(x, k):
+        x_dbl = jnp.dot(x, wx_ref[k], preferred_element_type=f32)  # (T, R+2N)
+        da = jax.nn.softplus(
+            jnp.dot(x_dbl[:, :R], dtw_ref[k], preferred_element_type=f32)
+            + bias_ref[k]
+        )  # (T, D)
+        return da, x_dbl[:, R : R + N], x_dbl[:, R + N :]
+
+    daf, Bf, Cf = project(xf, 0)
+    dar, Br, Cr = project(xr, 1)
+
+    u = jnp.concatenate([xf, xr], axis=1)  # (T, 2D)
+    da = jnp.concatenate([daf, dar], axis=1)  # (T, 2D)
+    # B/C broadcast to full width once: (T, N, 2D).
+    Bc = jnp.concatenate(
+        [jnp.broadcast_to(Bf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Br[:, :, None], (T, N, D))], axis=2)
+    Cc = jnp.concatenate(
+        [jnp.broadcast_to(Cf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Cr[:, :, None], (T, N, D))], axis=2)
 
     S = sub
     Rr = T // S
-    u4 = x.reshape(Rr, S, D)
-    da4 = da.reshape(Rr, S, D)
-    B4 = Bm.reshape(Rr, S, N)
-    C4 = Cm.reshape(Rr, S, N)
+    u4 = u.reshape(Rr, S, 2 * D)
+    da4 = da.reshape(Rr, S, 2 * D)
+    Bc4 = Bc.reshape(Rr, S, N, 2 * D)
+    Cc4 = Cc.reshape(Rr, S, N, 2 * D)
 
-    def step_ab(i):
-        dai = da4[:, i, :][:, None, :]
-        ai = jnp.exp(dai * A[None])
-        bi = (dai * u4[:, i, :][:, None, :]) * B4[:, i, :][:, :, None]
-        return ai, bi
-
-    def scan_dir(rev):
-        order = list(range(S)) if not rev else list(range(S - 1, -1, -1))
-        pa, pb = step_ab(order[0])
-        for i in order[1:]:
-            ai, bi = step_ab(i)
+    # Pass 1: per-step transitions (cached) + per-subsegment aggregate.
+    ais = []
+    bis = []
+    pa = pb = None
+    for i in range(S):
+        dai = da4[:, i, :][:, None, :]  # (Rr, 1, 2D)
+        ai = jnp.exp(dai * A2[None])  # (Rr, N, 2D)
+        bi = (dai * u4[:, i, :][:, None, :]) * Bc4[:, i]  # (Rr, N, 2D)
+        ais.append(ai)
+        bis.append(bi)
+        if i == 0:
+            pa, pb = ai, bi
+        else:
             pa = pa * ai
             pb = ai * pb + bi
-        sa, sb = pa, pb
-        s = 1
-        while s < Rr:
-            ones = jnp.ones((s, N, D), sa.dtype)
-            zeros = jnp.zeros((s, N, D), sb.dtype)
-            if not rev:
-                sa_sh = jnp.concatenate([ones, sa[:-s]], axis=0)
-                sb_sh = jnp.concatenate([zeros, sb[:-s]], axis=0)
-            else:
-                sa_sh = jnp.concatenate([sa[s:], ones], axis=0)
-                sb_sh = jnp.concatenate([sb[s:], zeros], axis=0)
-            sb = sb + sa * sb_sh
-            sa = sa * sa_sh
-            s *= 2
-        h0 = h_ref[...]
-        if not rev:
-            ex_a = jnp.concatenate([jnp.ones((1, N, D), sa.dtype), sa[:-1]], axis=0)
-            ex_b = jnp.concatenate([jnp.zeros((1, N, D), sb.dtype), sb[:-1]], axis=0)
-            h_last = sa[Rr - 1] * h0 + sb[Rr - 1]
-        else:
-            ex_a = jnp.concatenate([sa[1:], jnp.ones((1, N, D), sa.dtype)], axis=0)
-            ex_b = jnp.concatenate([sb[1:], jnp.zeros((1, N, D), sb.dtype)], axis=0)
-            h_last = sa[0] * h0 + sb[0]
-        H = ex_a * h0[None] + ex_b
-        h = H
-        ys = [None] * S
-        for i in order:
-            ai, bi = step_ab(i)
-            h = ai * h + bi
-            yi = jnp.sum(h * C4[:, i, :][:, :, None], axis=1)
-            ys[i] = yi + dsk * u4[:, i, :]
-        return jnp.stack(ys, axis=1).reshape(T, D), h_last
 
-    y, h_last = jax.lax.cond(
-        k2 == 1, lambda: scan_dir(True), lambda: scan_dir(False)
-    )
-    y_ref[0, 0] = y
-    h_ref[...] = h_last
+    # Log-depth inclusive scan over the Rr subsegment transitions.
+    sa, sb = pa, pb
+    s = 1
+    while s < Rr:
+        ones = jnp.ones((s, N, 2 * D), sa.dtype)
+        zeros = jnp.zeros((s, N, 2 * D), sb.dtype)
+        sb = sb + sa * jnp.concatenate([zeros, sb[:-s]], axis=0)
+        sa = sa * jnp.concatenate([ones, sa[:-s]], axis=0)
+        s *= 2
+
+    h0 = h_ref[...]  # (N, 2D)
+    ex_a = jnp.concatenate([jnp.ones((1, N, 2 * D), sa.dtype), sa[:-1]], axis=0)
+    ex_b = jnp.concatenate([jnp.zeros((1, N, 2 * D), sb.dtype), sb[:-1]], axis=0)
+    h = ex_a * h0[None] + ex_b  # entering state per subsegment
+    h_ref[...] = sa[Rr - 1] * h0 + sb[Rr - 1]
+
+    # Pass 2: replay cached transitions, emit y.
+    ys = []
+    for i in range(S):
+        h = ais[i] * h + bis[i]
+        yi = jnp.sum(h * Cc4[:, i], axis=1)  # (Rr, 2D)
+        ys.append(yi + dsk2 * u4[:, i, :])
+    y = jnp.stack(ys, axis=1).reshape(T, 2 * D)
+
+    y0_ref[0] = y[:, :D]
+    # reverse half's y is in reversed token order — un-reverse on the MXU.
+    y1_ref[0] = permute(P, y[:, D:])
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "sub", "interpret", "return_carries")
+)
 def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
-                    interpret=False):
+                    interpret=False, return_carries=False):
     """Fused projection+scan for ONE direction pair.
 
     x_tokens: (B, L, D) token stream (row-major or transposed, per pair).
     wx: (2, D, R+2N) stacked projection weights for [forward, reverse];
     dtw: (2, R, D); bias/dsk: (2, D); A: (2, N, D) (negative).
     Returns y: (B, 2, L, D) — forward-scan and reverse-scan outputs, both
-    in original token order.
+    in original token order. With return_carries=True also returns the
+    chunk-entry states (B, 2, nc, N, D) in PROCESSING order (residuals for
+    the fused backward kernel).
     """
     B, L, D = x_tokens.shape
     _, N, _ = A.shape  # (2, N, D)
@@ -505,35 +543,289 @@ def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
     Lp = L + pad
     x_p = jnp.pad(x_tokens, ((0, 0), (0, pad), (0, 0))) if pad else x_tokens
     nc = Lp // chunk
+    grid = (B, nc)
+
+    # Antidiagonal permutation: P @ x reverses tokens within a chunk
+    # (exact on the MXU — every output element is 1.0 * one input).
+    perm = jnp.asarray(np.eye(chunk, dtype=np.float32)[::-1])
+    A2 = jnp.concatenate([A[0], A[1]], axis=-1).astype(f32)  # (N, 2D)
+    dsk2 = jnp.concatenate([dsk[0], dsk[1]], axis=-1).astype(f32)[None]  # (1, 2D)
+
+    xf_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, c, 0),
+                           memory_space=pltpu.VMEM)
+    xr_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, nc - 1 - c, 0),
+                           memory_space=pltpu.VMEM)
+    perm_spec = pl.BlockSpec((chunk, chunk), lambda b, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, c: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    y0_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, c, 0),
+                           memory_space=pltpu.VMEM)
+    y1_spec = pl.BlockSpec((1, chunk, D), lambda b, c: (b, nc - 1 - c, 0),
+                           memory_space=pltpu.VMEM)
+
+    wx_f = wx.astype(f32)
+    dtw_f = dtw.astype(f32)
+    bias_f = bias.astype(f32)[:, None, :]  # (2, 1, D)
+
+    out_specs = (y0_spec, y1_spec)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Lp, D), f32),
+        jax.ShapeDtypeStruct((B, Lp, D), f32),
+    )
+    if return_carries:
+        cr_spec = pl.BlockSpec((1, 1, N, 2 * D), lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = out_specs + (cr_spec,)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((B, nc, N, 2 * D), f32),)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, sub=sub, nc=nc, dt_rank=Rk, d_state=N,
+                          with_carries=return_carries),
+        grid=grid,
+        in_specs=[xf_spec, xr_spec, perm_spec, full(wx_f), full(dtw_f),
+                  full(bias_f), full(A2), full(dsk2)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((N, 2 * D), f32)],
+        interpret=interpret,
+    )(x_p, x_p, perm, wx_f, dtw_f, bias_f, A2, dsk2)
+
+    y = jnp.stack(out[:2], axis=1)  # (B, 2, Lp, D)
+    y = y[:, :, :L] if pad else y
+    if return_carries:
+        # (B, nc, N, 2D) -> the per-direction layout the backward expects.
+        cr = out[2]
+        carries = jnp.stack([cr[..., :D], cr[..., D:]], axis=1)
+        return y, carries
+    return y
+
+
+# ---------------------------------------------------------------------------
+# FUSED backward kernel: gradients of projections + scan + D-skip in one
+# pallas_call. Where the unfused backward writes du/ddelta/dB/dC (4 L-sized
+# arrays) and leaves the projection backward to XLA matmuls over
+# HBM-materialized xs/dts, this kernel re-projects each chunk in VMEM and
+# emits ONLY dx (1 L-sized array per direction) plus per-stream weight
+# accumulators — the training-time analogue of the fused forward's
+# read-x-once property.
+#
+# Direction handling mirrors the fused forward: the reverse member (k2=1)
+# recomputes its forward states by scanning reverse-ordered chunks
+# backwards, and its g-recurrence (which runs OPPOSITE to the forward scan)
+# therefore runs forward in token order. No array flips anywhere.
+
+
+def _fused_bwd_kernel(x_ref, dy_ref, hin_ref, wx_ref, dtw_ref, bias_ref,
+                      a_ref, dsk_ref,
+                      dx_ref, dwr_ref, dwB_ref, dwC_ref, ddtw_ref, dbias_ref,
+                      dA_ref, ddsk_ref, gcar_ref, *, sub, nc, dt_rank, d_state):
+    k2 = pl.program_id(1)
+    cb = pl.program_id(2)
+
+    @pl.when(cb == 0)
+    def _():
+        gcar_ref[...] = jnp.zeros_like(gcar_ref)
+        dwr_ref[...] = jnp.zeros_like(dwr_ref)
+        dwB_ref[...] = jnp.zeros_like(dwB_ref)
+        dwC_ref[...] = jnp.zeros_like(dwC_ref)
+        ddtw_ref[...] = jnp.zeros_like(ddtw_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        ddsk_ref[...] = jnp.zeros_like(ddsk_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (T, D) token order
+    dy = dy_ref[0, 0].astype(jnp.float32)  # (T, D)
+    h_in = hin_ref[0, 0, 0]  # (N, D) chunk-entry state (processing order)
+    wx = wx_ref[0]  # (D, R+2N)
+    dtw = dtw_ref[0]  # (R, D)
+    bias = bias_ref[0]  # (1, D)
+    A = a_ref[0]  # (N, D)
+    dsk = dsk_ref[0]  # (1, D)
+
+    T, D = x.shape
+    N = d_state
+    R = dt_rank
+
+    # Recompute projections (MXU) exactly as the forward kernel.
+    x_dbl = jnp.dot(x, wx, preferred_element_type=jnp.float32)  # (T, R+2N)
+    xr = x_dbl[:, :R]  # (T, R)
+    z = jnp.dot(xr, dtw, preferred_element_type=jnp.float32) + bias  # (T, D)
+    da = jax.nn.softplus(z)
+    sig = jax.nn.sigmoid(z)
+    Bm = x_dbl[:, R : R + N]  # (T, N)
+    Cm = x_dbl[:, R + N :]  # (T, N)
+
+    a_all = jnp.exp(da[:, None, :] * A[None])  # (T, N, D)
+    b_all = (da * x)[:, None, :] * Bm[:, :, None]  # (T, N, D)
+    q = Cm[:, :, None] * dy[:, None, :]  # (T, N, D)
+    ones1 = jnp.ones((1, N, D), a_all.dtype)
+
+    def branch(rev):
+        # forward-state recompute + gradient recurrence for one direction.
+        h_all = _linscan_values(a_all, b_all, h_in, sub, reverse=rev)
+        if not rev:
+            h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
+            c_shift = jnp.concatenate([a_all[1:], ones1], axis=0)
+            g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=True)
+            gcar_new = a_all[0] * g[0]
+        else:
+            h_prev = jnp.concatenate([h_all[1:], h_in[None]], axis=0)
+            c_shift = jnp.concatenate([ones1, a_all[:-1]], axis=0)
+            g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=False)
+            gcar_new = a_all[T - 1] * g[T - 1]
+        return h_all, h_prev, g, gcar_new
+
+    h_all, h_prev, g, gcar_new = jax.lax.cond(
+        k2 == 1, lambda: branch(True), lambda: branch(False)
+    )
+    gcar_ref[...] = gcar_new
+
+    common = g * h_prev * a_all  # (T, N, D)
+    gB = jnp.sum(g * Bm[:, :, None], axis=1)  # (T, D)
+    dda = jnp.sum(common * A[None], axis=1) + gB * x  # (T, D)
+    ddr = dda * sig  # grad wrt z (= dt_lin and bias)
+    du_scan = da * gB + dsk * dy  # (T, D) scan-input path
+    dB = jnp.sum(g * (da * x)[:, None, :], axis=2)  # (T, N)
+    dC = jnp.sum(dy[:, None, :] * h_all, axis=2)  # (T, N)
+
+    # Projection backward (all MXU, in VMEM).
+    dxr = jnp.dot(ddr, dtw.T, preferred_element_type=jnp.float32)  # (T, R)
+    wxr = wx[:, :R]  # (D, R)
+    wxB = wx[:, R : R + N]
+    wxC = wx[:, R + N :]
+    dx = (
+        jnp.dot(dxr, wxr.T, preferred_element_type=jnp.float32)
+        + jnp.dot(dB, wxB.T, preferred_element_type=jnp.float32)
+        + jnp.dot(dC, wxC.T, preferred_element_type=jnp.float32)
+        + du_scan
+    )
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+    # Per-(b, k2) weight accumulators (blocks revisit consecutively over cb).
+    dwr_ref[0] = dwr_ref[0] + jnp.dot(x.T, dxr, preferred_element_type=jnp.float32)
+    dwB_ref[0] = dwB_ref[0] + jnp.dot(x.T, dB, preferred_element_type=jnp.float32)
+    dwC_ref[0] = dwC_ref[0] + jnp.dot(x.T, dC, preferred_element_type=jnp.float32)
+    ddtw_ref[0] = ddtw_ref[0] + jnp.dot(xr.T, ddr, preferred_element_type=jnp.float32)
+    dbias_ref[0, 0] = dbias_ref[0, 0] + jnp.sum(ddr, axis=0)
+    dA_ref[0] = dA_ref[0] + jnp.sum(common * da[:, None, :], axis=0)
+    ddsk_ref[0, 0] = ddsk_ref[0, 0] + jnp.sum(dy * x, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
+def ss2d_scan_fused_bwd(x_tokens, wx, dtw, bias, A, dsk, carries, dy,
+                        chunk=256, sub=8, interpret=False):
+    """Backward of `ss2d_scan_fused`. dy: (B, 2, L, D) cotangent.
+
+    Returns (dx, dwx, ddtw, dbias, dA, ddsk) with dx summed over the two
+    directions ((B, L, D), in x_tokens.dtype) and per-direction weight
+    grads in the forward's layouts."""
+    B, L, D = x_tokens.shape
+    _, N, _ = A.shape
+    Rk = dtw.shape[1]
+    f32 = jnp.float32
+
+    pad = (-L) % chunk
+    Lp = L + pad
+    x_p = jnp.pad(x_tokens, ((0, 0), (0, pad), (0, 0))) if pad else x_tokens
+    dy_p = (
+        jnp.pad(dy.astype(f32), ((0, 0), (0, 0), (0, pad), (0, 0))) if pad
+        else dy.astype(f32)
+    )
+    nc = Lp // chunk
     grid = (B, 2, nc)
 
-    def x_index(b, k2, c):
-        # forward pair member reads chunks in order; reverse member reads
-        # them back-to-front (the in-chunk scan also runs backwards).
-        return (b, jnp.where(k2 == 0, c, nc - 1 - c), 0)
+    def cc_index(b, k2, cb):
+        # backward visits chunks in reverse PROCESSING order; the actual
+        # chunk is therefore descending for the forward member and
+        # ascending for the reverse member.
+        return jnp.where(k2 == 0, nc - 1 - cb, cb)
 
-    x_spec = pl.BlockSpec((1, chunk, D), x_index, memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((1, 1, chunk, D),
-                          lambda b, k2, c: (b, k2, jnp.where(k2 == 0, c, nc - 1 - c), 0),
+    x_spec = pl.BlockSpec((1, chunk, D), lambda b, k2, cb: (b, cc_index(b, k2, cb), 0),
                           memory_space=pltpu.VMEM)
-    wx_spec = pl.BlockSpec((1,) + wx.shape[1:], lambda b, k2, c: (k2, 0, 0),
+    dy_spec = pl.BlockSpec((1, 1, chunk, D),
+                           lambda b, k2, cb: (b, k2, cc_index(b, k2, cb), 0),
                            memory_space=pltpu.VMEM)
-    dtw_spec = pl.BlockSpec((1,) + dtw.shape[1:], lambda b, k2, c: (k2, 0, 0),
+    dx_spec = pl.BlockSpec((1, 1, chunk, D),
+                           lambda b, k2, cb: (b, k2, cc_index(b, k2, cb), 0),
+                           memory_space=pltpu.VMEM)
+    cr_spec = pl.BlockSpec((1, 1, 1, N, D),
+                           lambda b, k2, cb: (b, k2, nc - 1 - cb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((1,) + wx.shape[1:], lambda b, k2, cb: (k2, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dtw_spec = pl.BlockSpec((1,) + dtw.shape[1:], lambda b, k2, cb: (k2, 0, 0),
                             memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, D), lambda b, k2, c: (k2, 0, 0),
+    v_spec = pl.BlockSpec((1, 1, D), lambda b, k2, cb: (k2, 0, 0),
                           memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((1, N, D), lambda b, k2, c: (k2, 0, 0),
+    a_spec = pl.BlockSpec((1, N, D), lambda b, k2, cb: (k2, 0, 0),
                           memory_space=pltpu.VMEM)
+    # Per-(b, k2) accumulators — cb ignored, so the block stays resident in
+    # VMEM across the whole chunk sweep of one stream.
+    acc = lambda shape: pl.BlockSpec((1, 1) + shape,
+                                     lambda b, k2, cb: (b, k2) + (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
 
-    y = pl.pallas_call(
-        functools.partial(_fused_kernel, sub=sub, nc=nc, dt_rank=Rk, d_state=N),
+    outs = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, sub=sub, nc=nc, dt_rank=Rk,
+                          d_state=N),
         grid=grid,
-        in_specs=[x_spec, wx_spec, dtw_spec, v_spec, a_spec, v_spec],
-        out_specs=y_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 2, Lp, D), f32),
+        in_specs=[x_spec, dy_spec, cr_spec, wx_spec, dtw_spec, v_spec, a_spec,
+                  v_spec],
+        out_specs=(dx_spec, acc((D, Rk)), acc((D, N)), acc((D, N)),
+                   acc((Rk, D)), acc((1, D)), acc((N, D)), acc((1, D))),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, Lp, D), x_tokens.dtype),  # dx per dir
+            jax.ShapeDtypeStruct((B, 2, D, Rk), f32),
+            jax.ShapeDtypeStruct((B, 2, D, N), f32),
+            jax.ShapeDtypeStruct((B, 2, D, N), f32),
+            jax.ShapeDtypeStruct((B, 2, Rk, D), f32),
+            jax.ShapeDtypeStruct((B, 2, 1, D), f32),
+            jax.ShapeDtypeStruct((B, 2, N, D), f32),
+            jax.ShapeDtypeStruct((B, 2, 1, D), f32),
+        ),
         scratch_shapes=[pltpu.VMEM((N, D), f32)],
         interpret=interpret,
-    )(x_p, wx.astype(f32), dtw.astype(f32),
+    )(x_p, dy_p, carries, wx.astype(f32), dtw.astype(f32),
       bias.astype(f32)[:, None, :], A.astype(f32), dsk.astype(f32)[:, None, :])
 
-    return y[:, :, :L] if pad else y
+    dx_d, dwr, dwB, dwC, ddtw, dbias, dA, ddsk = outs
+    dx = (dx_d[:, 0] + dx_d[:, 1])[:, :L].astype(x_tokens.dtype)
+    dwx = jnp.concatenate([dwr, dwB, dwC], axis=-1).sum(0).astype(wx.dtype)
+    return (
+        dx,
+        dwx,                                  # (2, D, R+2N)
+        ddtw.sum(0).astype(dtw.dtype),        # (2, R, D)
+        dbias.sum(0)[:, 0].astype(bias.dtype),  # (2, D)
+        dA.sum(0).astype(A.dtype),            # (2, N, D)
+        ddsk.sum(0)[:, 0].astype(dsk.dtype),  # (2, D)
+    )
+
+
+# Differentiable entry point: primal = the inference kernel (no residuals);
+# under AD the forward also emits chunk-entry carries and the backward is
+# the fused kernel above.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def ss2d_scan_fused_diff(x_tokens, wx, dtw, bias, A, dsk, chunk=256, sub=8,
+                         interpret=False):
+    return ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=chunk,
+                           sub=sub, interpret=interpret)
+
+
+def _fused_diff_fwd(x_tokens, wx, dtw, bias, A, dsk, chunk, sub, interpret):
+    y, carries = ss2d_scan_fused(
+        x_tokens, wx, dtw, bias, A, dsk, chunk=chunk, sub=sub,
+        interpret=interpret, return_carries=True,
+    )
+    return y, (x_tokens, wx, dtw, bias, A, dsk, carries)
+
+
+def _fused_diff_bwd(chunk, sub, interpret, res, dy):
+    x_tokens, wx, dtw, bias, A, dsk, carries = res
+    return ss2d_scan_fused_bwd(
+        x_tokens, wx, dtw, bias, A, dsk, carries, dy, chunk=chunk, sub=sub,
+        interpret=interpret,
+    )
+
+
+ss2d_scan_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)

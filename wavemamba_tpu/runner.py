@@ -147,10 +147,23 @@ class RestorationModel:
             out = out[0]  # the full-res output (`uhdfour_model.py:200`)
         return np.asarray(out)[:, :oh, :ow]
 
-    def validation(self, dataloader, current_iter, save_img=False):
-        """Non-dist validation loop (`femasr_model.py:206-303`)."""
+    def validation(self, dataloader, current_iter, save_img=False,
+                   num_shards=None, shard_id=None):
+        """Distributed validation loop.
+
+        The reference punts on this ("Only support single GPU validation",
+        `femasr_model.py:201-204`); here the val set is sharded
+        round-robin across processes (default: `jax.process_index()` of
+        `jax.process_count()`) and per-metric sums/counts are aggregated
+        with a host all-gather, so every process returns the same global
+        averages. Image writes happen on the process that evaluated the
+        image (shards are disjoint)."""
         opt_val = self.opt.get("val", {})
         metric_opts = opt_val.get("metrics") or {}
+        if num_shards is None:
+            num_shards = jax.process_count()
+        if shard_id is None:
+            shard_id = jax.process_index()
         metrics = {}
         for name, mopt in metric_opts.items():
             mopt = dict(mopt)
@@ -160,14 +173,14 @@ class RestorationModel:
                 self.logger.warning(f"metric {name} skipped: {e}")
         results = {name: [] for name in metrics}
         t0 = time.time()
-        for batch in dataloader:
+        for i, batch in enumerate(dataloader):
+            if i % num_shards != shard_id:
+                continue
             lq = batch["lq"]
             gt = batch.get("gt")
             out = self.test(lq)
             sr_img = batch2img(out)
-            from wavemamba_tpu.parallel.dist import is_master
-
-            if save_img and is_master():
+            if save_img:
                 img_name = os.path.splitext(os.path.basename(batch["lq_path"][0]))[0]
                 save_path = os.path.join(
                     self.opt["path"]["visualization"], f"{img_name}_{current_iter}.png"
@@ -177,7 +190,7 @@ class RestorationModel:
                 gt_img = batch2img(gt)
                 for name, fn in metrics.items():
                     results[name].append(fn(sr_img, gt_img))
-        avg = {name: float(np.mean(v)) for name, v in results.items() if v}
+        avg = self._aggregate_val_results(results, num_shards)
         self.logger.info(
             f"Validation @ iter {current_iter} ({time.time()-t0:.1f}s): "
             + ", ".join(f"{k}: {v:.4f}" for k, v in avg.items())
@@ -192,6 +205,28 @@ class RestorationModel:
                 self.best_metric_results[key_metric] = avg[key_metric]
                 improved = True
         return avg, improved
+
+    @staticmethod
+    def _aggregate_val_results(results: dict, num_shards: int) -> dict:
+        """Local per-metric value lists -> global averages. With one shard
+        this is a plain mean; with several, per-process (sum, count) pairs
+        are all-gathered across hosts and combined."""
+        if num_shards <= 1 or jax.process_count() == 1:
+            return {name: float(np.mean(v)) for name, v in results.items() if v}
+        from jax.experimental import multihost_utils
+
+        names = sorted(results)
+        local = np.array(
+            [[float(np.sum(results[n])), float(len(results[n]))] for n in names],
+            np.float64,
+        )
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        totals = gathered.sum(axis=0)  # (n_metrics, 2)
+        return {
+            n: float(totals[i, 0] / totals[i, 1])
+            for i, n in enumerate(names)
+            if totals[i, 1] > 0
+        }
 
     # ------------------------------------------------------------ checkpoints
     def save(self, current_iter):
