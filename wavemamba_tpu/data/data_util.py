@@ -82,3 +82,95 @@ def paths_from_lmdb(folder):
         raise ValueError(f"Folder {folder} should be in lmdb format.")
     with open(os.path.join(folder, "meta_info.txt")) as fin:
         return [line.split(".")[0] for line in fin]
+
+
+# ---------------------------------------------------------------------------
+# Video-sequence helpers (`basicsr/data/data_util.py:12-87,338-390`). Unused
+# by the Wave-Mamba configs (video SR only) but part of the data-layer API.
+
+
+def read_img_seq(path, require_mod_crop=False, scale=1):
+    """Read an image-sequence folder (or explicit path list) into a
+    (T, H, W, C) float32 RGB array in [0, 1] (`data_util.py:12-34`; NHWC
+    instead of the reference's torch NCHW stack)."""
+    import cv2
+    import numpy as np
+
+    if isinstance(path, list):
+        img_paths = path
+    else:
+        img_paths = [os.path.join(path, p) for p in sorted(scandir(path))]
+    imgs = [cv2.imread(p).astype(np.float32) / 255.0 for p in img_paths]
+    if require_mod_crop:
+        from wavemamba_tpu.data.transforms import mod_crop
+
+        imgs = [mod_crop(img, scale) for img in imgs]
+    return np.stack([img[:, :, ::-1] for img in imgs], axis=0)
+
+
+def generate_frame_indices(crt_idx, max_frame_num, num_frames,
+                           padding="reflection"):
+    """Center-frame neighbourhood indices with boundary padding
+    (`data_util.py:37-87`): 'replicate' | 'reflection' |
+    'reflection_circle' | 'circle'."""
+    assert num_frames % 2 == 1, "num_frames should be an odd number."
+    assert padding in ("replicate", "reflection", "reflection_circle",
+                       "circle"), f"Wrong padding mode: {padding}."
+    max_frame_num = max_frame_num - 1  # 0-based last index
+    num_pad = num_frames // 2
+    indices = []
+    for i in range(crt_idx - num_pad, crt_idx + num_pad + 1):
+        if i < 0:
+            pad_idx = {"replicate": 0, "reflection": -i,
+                       "reflection_circle": crt_idx + num_pad - i,
+                       "circle": num_frames + i}[padding]
+        elif i > max_frame_num:
+            pad_idx = {"replicate": max_frame_num,
+                       "reflection": max_frame_num * 2 - i,
+                       "reflection_circle": (crt_idx - num_pad) - (i - max_frame_num),
+                       "circle": i - num_frames}[padding]
+        else:
+            pad_idx = i
+        indices.append(pad_idx)
+    return indices
+
+
+def generate_gaussian_kernel(kernel_size=13, sigma=1.6):
+    """Gaussian kernel as a smoothed dirac (`data_util.py:338-353`)."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    kernel = np.zeros((kernel_size, kernel_size))
+    kernel[kernel_size // 2, kernel_size // 2] = 1
+    return gaussian_filter(kernel, sigma)
+
+
+def duf_downsample(x, kernel_size=13, scale=4):
+    """DUF-style Gaussian downsampling (`data_util.py:356-390`), NHWC.
+
+    x: (T, H, W, C) or (B, T, H, W, C) float array. Returns the same rank
+    with H, W downsampled by `scale` (depthwise strided conv on XLA).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    assert scale in (2, 3, 4), f"Only support scale (2, 3, 4), but got {scale}."
+    squeeze = x.ndim == 4
+    xj = jnp.asarray(x, jnp.float32)
+    if squeeze:
+        xj = xj[None]
+    b, t, h, w, c = xj.shape
+    xj = xj.reshape(b * t, h, w, c)
+    pad = kernel_size // 2 + scale * 2
+    xj = jnp.pad(xj, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    k = jnp.asarray(generate_gaussian_kernel(kernel_size, 0.4 * scale),
+                    jnp.float32)
+    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # depthwise HWIO
+    dn = lax.conv_dimension_numbers(xj.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xj, kern, (scale, scale), "VALID",
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
+    y = y[:, 2:-2, 2:-2, :]
+    y = y.reshape(b, t, y.shape[1], y.shape[2], c)
+    return y[0] if squeeze else y

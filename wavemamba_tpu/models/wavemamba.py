@@ -95,6 +95,25 @@ class WaveMambaConfig:
         return cls(**kw)
 
     @classmethod
+    def fast_train(cls, **kw):
+        """Tuned TPU TRAINING preset: fused Pallas kernel with its fused
+        backward (custom VJP) + bf16 convs + block remat. chunk=128 keeps
+        the backward kernel inside the 16 MB scoped-VMEM budget (its
+        lax.cond direction branches double the scratch footprint)."""
+        import jax
+
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        if backend in ("cpu", "gpu", "cuda", "rocm"):
+            return cls.fast_xla(**kw)
+        kw.setdefault("scan_impl", "pallas_fused")
+        kw.setdefault("scan_chunk", 128)
+        kw.setdefault("compute_dtype", "bfloat16")
+        return cls(**kw)
+
+    @classmethod
     def fast_xla(cls, **kw):
         """Portable fast preset (no Pallas): bf16 + fully-parallel XLA scan
         with bf16 working arrays. 0.539 s @1080p on v5e."""
@@ -336,24 +355,33 @@ def init_cmt_attention(key, c, num_heads=1):
 
 def cmt_attention_apply(p, x, perc, num_heads=1):
     """Transposed (channel) attention with perception-matched queries
-    (`wavemamba_arch.py:772-798`)."""
+    (`wavemamba_arch.py:772-798`).
+
+    Layout note: the reference materializes (B, heads, C/heads, L) tensors
+    (rearrange to 'b head c (h w)') before its matmuls. With L ~ 500k that
+    layout puts the TOKEN axis in the minor dims — multiple full-size
+    relayouts per block on TPU. All three contractions here are expressed
+    over the (B, L, heads, C/heads) layout directly (the L axis is only
+    ever contracted or broadcast), so no (C, L) tensor ever exists. Same
+    math, same outputs."""
     b, h, w, c = x.shape
+    ch = c // num_heads
     qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x), padding=1, groups=3 * c)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
     q = matching_transformation_apply(p["matching_transformation"], q, perc)
 
-    def to_heads(t):  # (B,H,W,C) -> (B, heads, C/heads, L)
-        return t.reshape(b, h * w, num_heads, c // num_heads).transpose(0, 2, 3, 1)
+    def heads(t):  # (B,H,W,C) -> (B, L, heads, C/heads) — a free reshape
+        return t.reshape(b, h * w, num_heads, ch)
 
-    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-    qh = l2_normalize(qh, axis=-1)
-    kh = l2_normalize(kh, axis=-1)
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    # F.normalize over the token axis (dim=-1 in the reference's (.., C, L))
+    qh = l2_normalize(qh, axis=1)
+    kh = l2_normalize(kh, axis=1)
     temp = p["temperature"].astype(qh.dtype)[None, :, None, None]
-    attn = jnp.einsum("bhcl,bhdl->bhcd", qh, kh, precision=dot_precision(qh)) * temp
+    attn = jnp.einsum("blhc,blhd->bhcd", qh, kh, precision=dot_precision(qh)) * temp
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhcd,bhdl->bhcl", attn, vh, precision=dot_precision(vh))
-    out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
-    return conv2d(p["project_out"], out)
+    out = jnp.einsum("bhcd,blhd->blhc", attn, vh, precision=dot_precision(vh))
+    return conv2d(p["project_out"], out.reshape(b, h, w, c))
 
 
 def init_feed_forward(key, c):

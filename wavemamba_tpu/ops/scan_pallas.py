@@ -459,36 +459,34 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
 
     u = jnp.concatenate([xf, xr], axis=1)  # (T, 2D)
     da = jnp.concatenate([daf, dar], axis=1)  # (T, 2D)
-    # B/C broadcast to full width once: (T, N, 2D).
+
+    # FULL-ARRAY per-token transitions in one op stream (the T*N*2D exp is
+    # the kernel's inherent cost — computed exactly once), then 4-D views
+    # whose per-step slices index an UNTILED dim (no strided sublane reads
+    # inside the loops).
+    a_all = jnp.exp(da[:, None, :] * A2[None])  # (T, N, 2D)
+    dau = da * u  # (T, 2D)
     Bc = jnp.concatenate(
         [jnp.broadcast_to(Bf[:, :, None], (T, N, D)),
          jnp.broadcast_to(Br[:, :, None], (T, N, D))], axis=2)
+    b_all = dau[:, None, :] * Bc  # (T, N, 2D)
     Cc = jnp.concatenate(
         [jnp.broadcast_to(Cf[:, :, None], (T, N, D)),
          jnp.broadcast_to(Cr[:, :, None], (T, N, D))], axis=2)
 
     S = sub
     Rr = T // S
-    u4 = u.reshape(Rr, S, 2 * D)
-    da4 = da.reshape(Rr, S, 2 * D)
-    Bc4 = Bc.reshape(Rr, S, N, 2 * D)
-    Cc4 = Cc.reshape(Rr, S, N, 2 * D)
+    a4 = a_all.reshape(Rr, S, N, 2 * D)
+    b4 = b_all.reshape(Rr, S, N, 2 * D)
+    C4 = Cc.reshape(Rr, S, N, 2 * D)
 
-    # Pass 1: per-step transitions (cached) + per-subsegment aggregate.
-    ais = []
-    bis = []
-    pa = pb = None
-    for i in range(S):
-        dai = da4[:, i, :][:, None, :]  # (Rr, 1, 2D)
-        ai = jnp.exp(dai * A2[None])  # (Rr, N, 2D)
-        bi = (dai * u4[:, i, :][:, None, :]) * Bc4[:, i]  # (Rr, N, 2D)
-        ais.append(ai)
-        bis.append(bi)
-        if i == 0:
-            pa, pb = ai, bi
-        else:
-            pa = pa * ai
-            pb = ai * pb + bi
+    # Pass 1: per-subsegment aggregate transition.
+    pa = a4[:, 0]
+    pb = b4[:, 0]
+    for i in range(1, S):
+        ai = a4[:, i]
+        pa = pa * ai
+        pb = ai * pb + b4[:, i]
 
     # Log-depth inclusive scan over the Rr subsegment transitions.
     sa, sb = pa, pb
@@ -506,13 +504,15 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     h = ex_a * h0[None] + ex_b  # entering state per subsegment
     h_ref[...] = sa[Rr - 1] * h0 + sb[Rr - 1]
 
-    # Pass 2: replay cached transitions, emit y.
+    # Pass 2: replay the cached transitions, emit y.
     ys = []
     for i in range(S):
-        h = ais[i] * h + bis[i]
-        yi = jnp.sum(h * Cc4[:, i], axis=1)  # (Rr, 2D)
-        ys.append(yi + dsk2 * u4[:, i, :])
-    y = jnp.stack(ys, axis=1).reshape(T, 2 * D)
+        h = a4[:, i] * h + b4[:, i]
+        ys.append(jnp.sum(h * C4[:, i], axis=1))  # (Rr, 2D)
+    # (S, Rr, 2D) -> one relayout -> (T, 2D); skip-connection added as a
+    # full-array op.
+    y = jnp.stack(ys, axis=0).transpose(1, 0, 2).reshape(T, 2 * D)
+    y = y + dsk2 * u
 
     y0_ref[0] = y[:, :D]
     # reverse half's y is in reversed token order — un-reverse on the MXU.
