@@ -79,8 +79,8 @@ def main():
         dts = jnp.stack([dts[:, 0], dts[:, 1, ::-1]], 1)
         Bs2 = jnp.stack([Bs2[:, 0], Bs2[:, 1, ::-1]], 1)
         Cs2 = jnp.stack([Cs2[:, 0], Cs2[:, 1, ::-1]], 1)
-        y = selective_scan(u2, dts, A2.transpose(0, 2, 1), Bs2, Cs2, ds2, b2,
-                           impl="ref")
+        y = selective_scan(u2, dts, A2.transpose(0, 2, 1), Bs2, Cs2, ds2,
+                           bias2, impl="ref")
         return jnp.stack([y[:, 0], y[:, 1, ::-1]], 1)
 
     y_f = ss2d_scan_fused(x, wx, dtw, b2, A2, ds2, chunk=256, sub=8)
