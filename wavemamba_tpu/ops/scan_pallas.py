@@ -610,18 +610,31 @@ def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
 # accumulators — the training-time analogue of the fused forward's
 # read-x-once property.
 #
-# Direction handling mirrors the fused forward: the reverse member (k2=1)
-# recomputes its forward states by scanning reverse-ordered chunks
-# backwards, and its g-recurrence (which runs OPPOSITE to the forward scan)
-# therefore runs forward in token order. No array flips anywhere.
+# Direction handling mirrors the fused forward kernel exactly: BOTH
+# directions of the pair are processed in one grid step, the forward member
+# in lanes [:D] and the reverse member in lanes [D:] of (T, N, 2D) work
+# arrays (full 128-lane VPU width at D=64). The reverse member's tokens and
+# cotangents are reversed on entry with the antidiagonal-permutation matmul
+# (exact on the MXU), after which both members are in their own processing
+# order and the whole gradient computation is direction-uniform: the
+# forward-state recompute is a forward in-chunk scan and the g-recurrence a
+# reverse in-chunk scan for both. No lax.cond (whose two live branches
+# doubled the VMEM footprint of the previous version and capped chunk at
+# 128), no array flips (Mosaic has no `rev` lowering).
+#
+# The backward sweeps processing chunks in REVERSE order (the g-carry flows
+# from later to earlier processing chunks), i.e. grid step cb handles
+# processing chunk cbp = nc-1-cb: actual chunk cbp for the forward member,
+# actual chunk cb (reversed tokens) for the reverse member — the fused
+# forward's index maps composed with cb -> nc-1-cb.
 
 
-def _fused_bwd_kernel(x_ref, dy_ref, hin_ref, wx_ref, dtw_ref, bias_ref,
-                      a_ref, dsk_ref,
-                      dx_ref, dwr_ref, dwB_ref, dwC_ref, ddtw_ref, dbias_ref,
-                      dA_ref, ddsk_ref, gcar_ref, *, sub, nc, dt_rank, d_state):
-    k2 = pl.program_id(1)
-    cb = pl.program_id(2)
+def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
+                      wx_ref, dtw_ref, bias_ref, a2_ref, dsk2_ref,
+                      dx0_ref, dx1_ref, dwr_ref, dwB_ref, dwC_ref, ddtw_ref,
+                      dbias_ref, dA_ref, ddsk_ref, gcar_ref,
+                      *, sub, nc, dt_rank, d_state):
+    cb = pl.program_id(1)
 
     @pl.when(cb == 0)
     def _():
@@ -634,82 +647,107 @@ def _fused_bwd_kernel(x_ref, dy_ref, hin_ref, wx_ref, dtw_ref, bias_ref,
         dA_ref[...] = jnp.zeros_like(dA_ref)
         ddsk_ref[...] = jnp.zeros_like(ddsk_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # (T, D) token order
-    dy = dy_ref[0, 0].astype(jnp.float32)  # (T, D)
-    h_in = hin_ref[0, 0, 0]  # (N, D) chunk-entry state (processing order)
-    wx = wx_ref[0]  # (D, R+2N)
-    dtw = dtw_ref[0]  # (R, D)
-    bias = bias_ref[0]  # (1, D)
-    A = a_ref[0]  # (N, D)
-    dsk = dsk_ref[0]  # (1, D)
+    f32 = jnp.float32
+    P = perm_ref[...]  # (T, T) antidiagonal
 
-    T, D = x.shape
+    def permute(Pm, v):
+        # Exact reversal on the MXU (see the forward kernel's note).
+        return jax.lax.dot_general(
+            Pm, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+
+    xf = xf_ref[0].astype(f32)              # (T, D) processing order
+    xr = permute(P, xr_ref[0].astype(f32))  # (T, D) processing order
+    dyf = dyf_ref[0, 0].astype(f32)
+    dyr = permute(P, dyr_ref[0, 0].astype(f32))
+    h_in = jnp.concatenate([hin_ref[0, 0, 0], hin_ref[0, 1, 0]], axis=1)  # (N, 2D)
+    A2 = a2_ref[...]    # (N, 2D)
+    dsk2 = dsk2_ref[...]  # (1, 2D)
+
+    T, D = xf.shape
     N = d_state
     R = dt_rank
 
     # Recompute projections (MXU) exactly as the forward kernel.
-    x_dbl = jnp.dot(x, wx, preferred_element_type=jnp.float32)  # (T, R+2N)
-    xr = x_dbl[:, :R]  # (T, R)
-    z = jnp.dot(xr, dtw, preferred_element_type=jnp.float32) + bias  # (T, D)
+    def project(x, k):
+        x_dbl = jnp.dot(x, wx_ref[k], preferred_element_type=f32)  # (T, R+2N)
+        z = (jnp.dot(x_dbl[:, :R], dtw_ref[k], preferred_element_type=f32)
+             + bias_ref[k])  # (T, D)
+        return x_dbl[:, :R], x_dbl[:, R:R + N], x_dbl[:, R + N:], z
+
+    xrf, Bf, Cf, zf = project(xf, 0)
+    xrr, Br, Cr, zr = project(xr, 1)
+    z = jnp.concatenate([zf, zr], axis=1)  # (T, 2D)
     da = jax.nn.softplus(z)
     sig = jax.nn.sigmoid(z)
-    Bm = x_dbl[:, R : R + N]  # (T, N)
-    Cm = x_dbl[:, R + N :]  # (T, N)
+    u = jnp.concatenate([xf, xr], axis=1)  # (T, 2D)
 
-    a_all = jnp.exp(da[:, None, :] * A[None])  # (T, N, D)
-    b_all = (da * x)[:, None, :] * Bm[:, :, None]  # (T, N, D)
-    q = Cm[:, :, None] * dy[:, None, :]  # (T, N, D)
-    ones1 = jnp.ones((1, N, D), a_all.dtype)
+    a_all = jnp.exp(da[:, None, :] * A2[None])  # (T, N, 2D)
+    dau = da * u  # (T, 2D)
+    Bc = jnp.concatenate(
+        [jnp.broadcast_to(Bf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Br[:, :, None], (T, N, D))], axis=2)
+    Cc = jnp.concatenate(
+        [jnp.broadcast_to(Cf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Cr[:, :, None], (T, N, D))], axis=2)
+    b_all = dau[:, None, :] * Bc  # (T, N, 2D)
+    dy2 = jnp.concatenate([dyf, dyr], axis=1)  # (T, 2D)
+    q = Cc * dy2[:, None, :]  # (T, N, 2D)
 
-    def branch(rev):
-        # forward-state recompute + gradient recurrence for one direction.
-        h_all = _linscan_values(a_all, b_all, h_in, sub, reverse=rev)
-        if not rev:
-            h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
-            c_shift = jnp.concatenate([a_all[1:], ones1], axis=0)
-            g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=True)
-            gcar_new = a_all[0] * g[0]
-        else:
-            h_prev = jnp.concatenate([h_all[1:], h_in[None]], axis=0)
-            c_shift = jnp.concatenate([ones1, a_all[:-1]], axis=0)
-            g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=False)
-            gcar_new = a_all[T - 1] * g[T - 1]
-        return h_all, h_prev, g, gcar_new
+    # Forward-state recompute + gradient recurrence, direction-uniform.
+    h_all = _linscan_values(a_all, b_all, h_in, sub)  # (T, N, 2D)
+    h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
+    # g_t = a_{t+1} g_{t+1} + q_t; the carry from the later processing chunk
+    # arrives pre-multiplied by its own a (hence the trailing ones row).
+    ones1 = jnp.ones((1, N, 2 * D), a_all.dtype)
+    c_shift = jnp.concatenate([a_all[1:], ones1], axis=0)
+    g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=True)
+    gcar_ref[...] = a_all[0] * g[0]
 
-    h_all, h_prev, g, gcar_new = jax.lax.cond(
-        k2 == 1, lambda: branch(True), lambda: branch(False)
-    )
-    gcar_ref[...] = gcar_new
-
-    common = g * h_prev * a_all  # (T, N, D)
-    gB = jnp.sum(g * Bm[:, :, None], axis=1)  # (T, D)
-    dda = jnp.sum(common * A[None], axis=1) + gB * x  # (T, D)
+    common = g * h_prev * a_all  # (T, N, 2D)
+    gB = jnp.sum(g * Bc, axis=1)  # (T, 2D)
+    dda = jnp.sum(common * A2[None], axis=1) + gB * u  # (T, 2D)
     ddr = dda * sig  # grad wrt z (= dt_lin and bias)
-    du_scan = da * gB + dsk * dy  # (T, D) scan-input path
-    dB = jnp.sum(g * (da * x)[:, None, :], axis=2)  # (T, N)
-    dC = jnp.sum(dy[:, None, :] * h_all, axis=2)  # (T, N)
+    du_scan = da * gB + dsk2 * dy2  # (T, 2D) scan-input path
+    gdau = g * dau[:, None, :]  # (T, N, 2D)
+    hdy = dy2[:, None, :] * h_all  # (T, N, 2D)
+    dB_f = jnp.sum(gdau[:, :, :D], axis=2)  # (T, N)
+    dB_r = jnp.sum(gdau[:, :, D:], axis=2)
+    dC_f = jnp.sum(hdy[:, :, :D], axis=2)
+    dC_r = jnp.sum(hdy[:, :, D:], axis=2)
 
-    # Projection backward (all MXU, in VMEM).
-    dxr = jnp.dot(ddr, dtw.T, preferred_element_type=jnp.float32)  # (T, R)
-    wxr = wx[:, :R]  # (D, R)
-    wxB = wx[:, R : R + N]
-    wxC = wx[:, R + N :]
-    dx = (
-        jnp.dot(dxr, wxr.T, preferred_element_type=jnp.float32)
-        + jnp.dot(dB, wxB.T, preferred_element_type=jnp.float32)
-        + jnp.dot(dC, wxC.T, preferred_element_type=jnp.float32)
-        + du_scan
-    )
-    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+    # Projection backward (all MXU, in VMEM) — per direction, then the
+    # reverse member's dx is un-reversed on the way out.
+    def dx_dir(k, ddr_k, dB_k, dC_k, du_k):
+        dxr = jnp.dot(ddr_k, dtw_ref[k].T, preferred_element_type=f32)  # (T, R)
+        wxk = wx_ref[k]
+        dx = (
+            jnp.dot(dxr, wxk[:, :R].T, preferred_element_type=f32)
+            + jnp.dot(dB_k, wxk[:, R:R + N].T, preferred_element_type=f32)
+            + jnp.dot(dC_k, wxk[:, R + N:].T, preferred_element_type=f32)
+            + du_k
+        )
+        return dxr, dx
 
-    # Per-(b, k2) weight accumulators (blocks revisit consecutively over cb).
-    dwr_ref[0] = dwr_ref[0] + jnp.dot(x.T, dxr, preferred_element_type=jnp.float32)
-    dwB_ref[0] = dwB_ref[0] + jnp.dot(x.T, dB, preferred_element_type=jnp.float32)
-    dwC_ref[0] = dwC_ref[0] + jnp.dot(x.T, dC, preferred_element_type=jnp.float32)
-    ddtw_ref[0] = ddtw_ref[0] + jnp.dot(xr.T, ddr, preferred_element_type=jnp.float32)
-    dbias_ref[0, 0] = dbias_ref[0, 0] + jnp.sum(ddr, axis=0)
-    dA_ref[0] = dA_ref[0] + jnp.sum(common * da[:, None, :], axis=0)
-    ddsk_ref[0, 0] = ddsk_ref[0, 0] + jnp.sum(dy * x, axis=0)
+    dxr_f, dx_f = dx_dir(0, ddr[:, :D], dB_f, dC_f, du_scan[:, :D])
+    dxr_r, dx_r = dx_dir(1, ddr[:, D:], dB_r, dC_r, du_scan[:, D:])
+    dx0_ref[0] = dx_f.astype(dx0_ref.dtype)
+    dx1_ref[0] = permute(P, dx_r).astype(dx1_ref.dtype)
+
+    # Per-batch weight accumulators (blocks revisit across the cb sweep).
+    dwr_ref[0, 0] = dwr_ref[0, 0] + jnp.dot(xf.T, dxr_f, preferred_element_type=f32)
+    dwr_ref[0, 1] = dwr_ref[0, 1] + jnp.dot(xr.T, dxr_r, preferred_element_type=f32)
+    dwB_ref[0, 0] = dwB_ref[0, 0] + jnp.dot(xf.T, dB_f, preferred_element_type=f32)
+    dwB_ref[0, 1] = dwB_ref[0, 1] + jnp.dot(xr.T, dB_r, preferred_element_type=f32)
+    dwC_ref[0, 0] = dwC_ref[0, 0] + jnp.dot(xf.T, dC_f, preferred_element_type=f32)
+    dwC_ref[0, 1] = dwC_ref[0, 1] + jnp.dot(xr.T, dC_r, preferred_element_type=f32)
+    ddtw_ref[0, 0] = ddtw_ref[0, 0] + jnp.dot(xrf.T, ddr[:, :D], preferred_element_type=f32)
+    ddtw_ref[0, 1] = ddtw_ref[0, 1] + jnp.dot(xrr.T, ddr[:, D:], preferred_element_type=f32)
+    dbias_ref[0, 0] = dbias_ref[0, 0] + jnp.sum(ddr, axis=0)  # (2D,) packed
+    dA_ref[0] = dA_ref[0] + jnp.sum(common * da[:, None, :], axis=0)  # (N, 2D)
+    ddsk_ref[0, 0] = ddsk_ref[0, 0] + jnp.sum(dy2 * u, axis=0)  # (2D,) packed
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
@@ -733,72 +771,81 @@ def ss2d_scan_fused_bwd(x_tokens, wx, dtw, bias, A, dsk, carries, dy,
         else dy.astype(f32)
     )
     nc = Lp // chunk
-    grid = (B, 2, nc)
+    grid = (B, nc)
 
-    def cc_index(b, k2, cb):
-        # backward visits chunks in reverse PROCESSING order; the actual
-        # chunk is therefore descending for the forward member and
-        # ascending for the reverse member.
-        return jnp.where(k2 == 0, nc - 1 - cb, cb)
-
-    x_spec = pl.BlockSpec((1, chunk, D), lambda b, k2, cb: (b, cc_index(b, k2, cb), 0),
-                          memory_space=pltpu.VMEM)
-    dy_spec = pl.BlockSpec((1, 1, chunk, D),
-                           lambda b, k2, cb: (b, k2, cc_index(b, k2, cb), 0),
+    # Grid step cb handles processing chunk cbp = nc-1-cb (reverse sweep):
+    # the forward member's tokens live in actual chunk cbp, the reverse
+    # member's in actual chunk nc-1-cbp = cb (reversed in-kernel).
+    perm = jnp.asarray(np.eye(chunk, dtype=np.float32)[::-1])
+    xf_spec = pl.BlockSpec((1, chunk, D), lambda b, cb: (b, nc - 1 - cb, 0),
                            memory_space=pltpu.VMEM)
-    dx_spec = pl.BlockSpec((1, 1, chunk, D),
-                           lambda b, k2, cb: (b, k2, cc_index(b, k2, cb), 0),
+    xr_spec = pl.BlockSpec((1, chunk, D), lambda b, cb: (b, cb, 0),
                            memory_space=pltpu.VMEM)
-    cr_spec = pl.BlockSpec((1, 1, 1, N, D),
-                           lambda b, k2, cb: (b, k2, nc - 1 - cb, 0, 0),
-                           memory_space=pltpu.VMEM)
-    wx_spec = pl.BlockSpec((1,) + wx.shape[1:], lambda b, k2, cb: (k2, 0, 0),
-                           memory_space=pltpu.VMEM)
-    dtw_spec = pl.BlockSpec((1,) + dtw.shape[1:], lambda b, k2, cb: (k2, 0, 0),
+    dyf_spec = pl.BlockSpec((1, 1, chunk, D),
+                            lambda b, cb: (b, 0, nc - 1 - cb, 0),
                             memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, D), lambda b, k2, cb: (k2, 0, 0),
-                          memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec((1, N, D), lambda b, k2, cb: (k2, 0, 0),
-                          memory_space=pltpu.VMEM)
-    # Per-(b, k2) accumulators — cb ignored, so the block stays resident in
-    # VMEM across the whole chunk sweep of one stream.
-    acc = lambda shape: pl.BlockSpec((1, 1) + shape,
-                                     lambda b, k2, cb: (b, k2) + (0,) * len(shape),
+    dyr_spec = pl.BlockSpec((1, 1, chunk, D), lambda b, cb: (b, 1, cb, 0),
+                            memory_space=pltpu.VMEM)
+    dx0_spec = pl.BlockSpec((1, chunk, D), lambda b, cb: (b, nc - 1 - cb, 0),
+                            memory_space=pltpu.VMEM)
+    dx1_spec = pl.BlockSpec((1, chunk, D), lambda b, cb: (b, cb, 0),
+                            memory_space=pltpu.VMEM)
+    cr_spec = pl.BlockSpec((1, 2, 1, N, D),
+                           lambda b, cb: (b, 0, nc - 1 - cb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    perm_spec = pl.BlockSpec((chunk, chunk), lambda b, cb: (0, 0),
+                             memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, cb: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    # Per-batch accumulators — cb ignored, so the block stays resident in
+    # VMEM across the whole reverse chunk sweep.
+    acc = lambda shape: pl.BlockSpec((1,) + shape,
+                                     lambda b, cb: (b,) + (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
+
+    wx_f = wx.astype(f32)
+    dtw_f = dtw.astype(f32)
+    bias_f = bias.astype(f32)[:, None, :]  # (2, 1, D)
+    A2 = jnp.concatenate([A[0], A[1]], axis=-1).astype(f32)  # (N, 2D)
+    dsk2 = jnp.concatenate([dsk[0], dsk[1]], axis=-1).astype(f32)[None]  # (1, 2D)
 
     outs = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, sub=sub, nc=nc, dt_rank=Rk,
                           d_state=N),
         grid=grid,
-        in_specs=[x_spec, dy_spec, cr_spec, wx_spec, dtw_spec, v_spec, a_spec,
-                  v_spec],
-        out_specs=(dx_spec, acc((D, Rk)), acc((D, N)), acc((D, N)),
-                   acc((Rk, D)), acc((1, D)), acc((N, D)), acc((1, D))),
+        in_specs=[xf_spec, xr_spec, dyf_spec, dyr_spec, cr_spec, perm_spec,
+                  full(wx_f), full(dtw_f), full(bias_f), full(A2), full(dsk2)],
+        out_specs=(dx0_spec, dx1_spec, acc((2, D, Rk)), acc((2, D, N)),
+                   acc((2, D, N)), acc((2, Rk, D)), acc((1, 2 * D)),
+                   acc((N, 2 * D)), acc((1, 2 * D))),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 2, Lp, D), x_tokens.dtype),  # dx per dir
+            jax.ShapeDtypeStruct((B, Lp, D), x_tokens.dtype),  # dx fwd dir
+            jax.ShapeDtypeStruct((B, Lp, D), x_tokens.dtype),  # dx rev dir
             jax.ShapeDtypeStruct((B, 2, D, Rk), f32),
             jax.ShapeDtypeStruct((B, 2, D, N), f32),
             jax.ShapeDtypeStruct((B, 2, D, N), f32),
             jax.ShapeDtypeStruct((B, 2, Rk, D), f32),
-            jax.ShapeDtypeStruct((B, 2, 1, D), f32),
-            jax.ShapeDtypeStruct((B, 2, N, D), f32),
-            jax.ShapeDtypeStruct((B, 2, 1, D), f32),
+            jax.ShapeDtypeStruct((B, 1, 2 * D), f32),
+            jax.ShapeDtypeStruct((B, N, 2 * D), f32),
+            jax.ShapeDtypeStruct((B, 1, 2 * D), f32),
         ),
-        scratch_shapes=[pltpu.VMEM((N, D), f32)],
+        scratch_shapes=[pltpu.VMEM((N, 2 * D), f32)],
         interpret=interpret,
-    )(x_p, dy_p, carries, wx.astype(f32), dtw.astype(f32),
-      bias.astype(f32)[:, None, :], A.astype(f32), dsk.astype(f32)[:, None, :])
+    )(x_p, x_p, dy_p, dy_p, carries, perm, wx_f, dtw_f, bias_f, A2, dsk2)
 
-    dx_d, dwr, dwB, dwC, ddtw, dbias, dA, ddsk = outs
-    dx = (dx_d[:, 0] + dx_d[:, 1])[:, :L].astype(x_tokens.dtype)
+    dx0, dx1, dwr, dwB, dwC, ddtw, dbias, dA, ddsk = outs
+    dx = (dx0 + dx1)[:, :L].astype(x_tokens.dtype)
     dwx = jnp.concatenate([dwr, dwB, dwC], axis=-1).sum(0).astype(wx.dtype)
+    dbias2 = dbias.sum(0)[0]  # (2D,) packed
+    dA2 = dA.sum(0)  # (N, 2D) packed
+    ddsk2 = ddsk.sum(0)[0]  # (2D,) packed
     return (
         dx,
         dwx,                                  # (2, D, R+2N)
         ddtw.sum(0).astype(dtw.dtype),        # (2, R, D)
-        dbias.sum(0)[:, 0].astype(bias.dtype),  # (2, D)
-        dA.sum(0).astype(A.dtype),            # (2, N, D)
-        ddsk.sum(0)[:, 0].astype(dsk.dtype),  # (2, D)
+        jnp.stack([dbias2[:D], dbias2[D:]]).astype(bias.dtype),  # (2, D)
+        jnp.stack([dA2[:, :D], dA2[:, D:]]).astype(A.dtype),     # (2, N, D)
+        jnp.stack([ddsk2[:D], ddsk2[D:]]).astype(dsk.dtype),     # (2, D)
     )
 
 
