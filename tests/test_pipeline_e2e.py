@@ -115,6 +115,23 @@ def test_train_pipeline_and_inference(synth_data, tmp_path):
     resume = find_resume_state(str(exp / "training_states"))
     assert resume is not None and resume.endswith(("3", "6"))
 
+    # Re-run with --auto_resume: must resume IN PLACE (no archived copy of
+    # the experiment dir — the reference archives only when starting fresh,
+    # `basicsr/train.py:130-136`) and continue past the saved iter.
+    import yaml as _yaml
+
+    opt2 = _yaml.safe_load(opt_path.read_text())
+    opt2["train"]["total_iter"] = 9
+    opt2_path = tmp_path / "opt_resume.yml"
+    opt2_path.write_text(_yaml.safe_dump(opt2))
+    model2 = train_pipeline(str(tmp_path), args=["-opt", str(opt2_path),
+                                                 "--auto_resume"])
+    archived = [d for d in (tmp_path / "experiments").iterdir()
+                if "archived" in d.name]
+    assert not archived, f"resume archived the experiment dir: {archived}"
+    assert int(model2.state["step"]) == 9  # 6 resumed + 3 new
+    assert (exp / "training_states" / "9").is_dir()
+
     # inference CLI against the trained checkpoint
     from inference import main as infer_main
 

@@ -19,6 +19,7 @@ import time
 from wavemamba_tpu.data import EnlargedSampler, ThreadedLoader, build_dataset, device_prefetch
 from wavemamba_tpu.parallel.mesh import batch_sharding, make_mesh
 from wavemamba_tpu.runner import build_model
+from wavemamba_tpu.train.checkpoint import find_resume_state
 from wavemamba_tpu.utils.logger import (
     AvgTimer,
     MessageLogger,
@@ -81,7 +82,15 @@ def train_pipeline(root_path, args=None):
     opt, parsed = parse_options(root_path, is_train=True, args=args)
     set_random_seed(opt["manual_seed"])
 
-    make_exp_dirs(opt)
+    # Archive an existing experiment dir only when starting fresh; with
+    # --auto_resume and a saved training state, resume IN PLACE (reference
+    # `basicsr/train.py:99-136`: make_exp_dirs runs only if resume_state is
+    # None — archiving first would hide the states auto-resume looks for).
+    resuming = bool(
+        opt.get("auto_resume")
+        and find_resume_state(opt["path"]["training_states"]) is not None
+    )
+    make_exp_dirs(opt, archive=not resuming)
     copy_opt_file(parsed.opt, opt["path"]["experiments_root"])
     log_file = os.path.join(
         opt["path"]["log"], f"train_{opt['name']}_{int(time.time())}.log"
@@ -111,7 +120,10 @@ def train_pipeline(root_path, args=None):
     val_freq = opt.get("val", {}).get("val_freq")
 
     current_iter = start_iter
-    epoch = 0
+    # On resume, restart at the epoch the saved iter falls in (the reference
+    # stores epoch in the training state, `base_model.py:326-359`; deriving
+    # it keeps the state a pure pytree).
+    epoch = start_iter // max(len(train_loader), 1)
     sharding = batch_sharding(mesh)
     logger.info(f"Start training from iter {current_iter}")
     start = time.time()

@@ -30,13 +30,19 @@ def mkdir_and_rename(path: str):
     os.makedirs(path, exist_ok=True)
 
 
-def make_exp_dirs(opt: dict):
-    """Create experiment directory tree (`misc.py:39-50`)."""
+def make_exp_dirs(opt: dict, archive: bool = True):
+    """Create experiment directory tree (`misc.py:39-50`).
+
+    archive=False skips the rename-with-timestamp of an existing root —
+    used when resuming into an existing experiment (the reference only
+    archives when starting fresh: `basicsr/train.py:130-136` calls
+    make_exp_dirs solely under `if resume_state is None`)."""
     path_opt = dict(opt["path"])
-    if opt.get("is_train"):
-        mkdir_and_rename(path_opt.pop("experiments_root"))
+    root = path_opt.pop("experiments_root" if opt.get("is_train") else "results_root")
+    if archive:
+        mkdir_and_rename(root)
     else:
-        mkdir_and_rename(path_opt.pop("results_root"))
+        os.makedirs(root, exist_ok=True)
     for key, path in path_opt.items():
         if ("strict_load" in key) or ("pretrain_network" in key) or ("resume" in key) or (
             "param_key" in key
