@@ -148,6 +148,9 @@ class ThreadedLoader:
             stop.set()
 
 
+_EXHAUSTED = object()  # sentinel: upstream iterator finished
+
+
 def device_prefetch(iterator, sharding=None, depth=2):
     """Keep `depth` batches in flight on device (double-buffering).
 
@@ -178,19 +181,31 @@ def device_prefetch(iterator, sharding=None, depth=2):
                 out[k] = v
         return out
 
-    buf = collections.deque()
+    # Host->device staging happens on a dedicated thread: device_put through
+    # a slow interconnect (or a tunneled device) can block for the whole
+    # transfer, and doing it inline would serialize transfers with the train
+    # step. One worker preserves batch order.
+    from concurrent.futures import ThreadPoolExecutor
+
     it = iter(iterator)
-    try:
-        for _ in range(depth):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        yield buf.popleft()
+
+    def fetch():
         try:
-            buf.append(put(next(it)))
+            return put(next(it))
         except StopIteration:
-            pass
+            return _EXHAUSTED
+
+    ex = ThreadPoolExecutor(1)
+    buf = collections.deque(ex.submit(fetch) for _ in range(depth))
+    try:
+        while buf:
+            item = buf.popleft().result()
+            if item is _EXHAUSTED:
+                break
+            buf.append(ex.submit(fetch))
+            yield item
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def build_dataset(opt: dict):

@@ -80,6 +80,31 @@ class PairedImageDataset:
         gt_path = self.paths[index]["gt_path"]
         lq_path = self.paths[index]["lq_path"]
 
+        # uint8 transfer path (`transfer_dtype: uint8`): crop/augment the
+        # decoded uint8 images and ship uint8 RGB to the device — 4x less
+        # host->HBM traffic than float32; the train step casts to f32/255
+        # on device, where XLA fuses the normalize into the first conv.
+        # (TPU-first extension; the reference always ships CHW float,
+        # `paired_image_dataset.py:118-120`.)
+        if (
+            self.opt.get("transfer_dtype") == "uint8"
+            and self.opt.get("phase") == "train"
+            and scale == 1
+            and self.mean is None
+            and self.std is None
+        ):
+            gt_u8 = self._load_u8(gt_path, "gt")
+            lq_u8 = self._load_u8(lq_path, "lq")
+            gt_size = self.opt["gt_size"]
+            if gt_u8.shape[0] < gt_size or gt_u8.shape[1] < gt_size:
+                gt_u8, lq_u8 = padding(gt_u8, lq_u8, gt_size)
+            gt_u8, lq_u8 = paired_random_crop(gt_u8, lq_u8, gt_size, 1, gt_path)
+            if self.opt.get("geometric_augs"):
+                gt_u8, lq_u8 = random_augmentation(gt_u8, lq_u8)
+            return {"lq": np.ascontiguousarray(lq_u8[..., ::-1]),
+                    "gt": np.ascontiguousarray(gt_u8[..., ::-1]),
+                    "lq_path": lq_path, "gt_path": gt_path}
+
         # Native fast path (train, scale 1): fused C++ crop+augment+convert
         # over the decoded uint8 images (native/wavedata.cc).
         if (

@@ -126,6 +126,12 @@ def make_train_step(cfg: WaveMambaConfig, tcfg: TrainConfig, mesh=None) -> Calla
     tx, _ = make_optimizer(tcfg)
 
     def step(state, lq, gt):
+        # uint8 batches (transfer_dtype: uint8 datasets) normalize on
+        # device; XLA fuses the cast+scale into the first consumer.
+        if lq.dtype == jnp.uint8:
+            lq = lq.astype(jnp.float32) / 255.0
+        if gt.dtype == jnp.uint8:
+            gt = gt.astype(jnp.float32) / 255.0
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], cfg, tcfg, lq, gt
         )
