@@ -97,9 +97,11 @@ class WaveMambaConfig:
     @classmethod
     def fast_train(cls, **kw):
         """Tuned TPU TRAINING preset: fused Pallas kernel with its fused
-        backward (custom VJP) + bf16 convs + block remat. chunk=128 keeps
-        the backward kernel inside the 16 MB scoped-VMEM budget (its
-        lax.cond direction branches double the scratch footprint)."""
+        backward (custom VJP, direction-uniform combined-lane kernel) +
+        bf16 convs + block remat. 0.844 s/step batch 8 @512^2 on one v5e
+        (9.5 img/s). chunk=128 measured fastest (192: 0.869 s; 256
+        compiles only below ~256 chunks per stream — a Mosaic resource
+        limit at model sequence lengths)."""
         import jax
 
         try:
