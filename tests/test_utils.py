@@ -111,3 +111,25 @@ def test_torch_export_roundtrip():
     for (pa, va), (pb, vb) in zip(flat_a, flat_b):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_file_client_memcached_gated():
+    """memcached backend is registered (`file_client.py:22-55`) and fails
+    with a clear ImportError when no client library is installed."""
+    import pytest
+
+    from wavemamba_tpu.utils.file_client import FileClient
+
+    assert "memcached" in FileClient._backends
+    try:
+        import mc  # noqa: F401
+        has_client = True
+    except ImportError:
+        try:
+            import pymemcache  # noqa: F401
+            has_client = True
+        except ImportError:
+            has_client = False
+    if not has_client:
+        with pytest.raises(ImportError, match="memcached backend requires"):
+            FileClient("memcached")

@@ -1,8 +1,8 @@
-"""Storage backends (`basicsr/utils/file_client.py`): disk + LMDB facade.
+"""Storage backends (`basicsr/utils/file_client.py`): disk + LMDB +
+memcached facade.
 
-LMDB (a C library) is optional in this environment — the backend raises a
-clear error if the `lmdb` package is absent. Memcached is intentionally not
-supported (dead weight in the reference; use disk or lmdb)."""
+LMDB (a C library) and memcached client libraries are optional in this
+environment — each backend raises a clear error if its package is absent."""
 
 from __future__ import annotations
 
@@ -46,10 +46,60 @@ class LmdbBackend:
         raise NotImplementedError
 
 
+class MemcachedBackend:
+    """Memcached storage (`file_client.py:22-55`): py014 `mc` client if
+    present (the reference's cluster client), else `pymemcache`/`pylibmc`
+    as widely-available equivalents."""
+
+    def __init__(self, server_list_cfg=None, client_cfg=None, sys_path=None,
+                 servers=("127.0.0.1:11211",), **kwargs):
+        if sys_path is not None:
+            import sys
+
+            sys.path.append(sys_path)
+        self._mc_pipeline = False
+        try:  # the reference's client (`import mc`, file_client.py:34-40)
+            import mc
+
+            self._client = mc.MemcachedClient.GetInstance(
+                server_list_cfg, client_cfg
+            )
+            self._buf = mc.pyvector()
+            self._mc_pipeline = True
+            return
+        except ImportError:
+            pass
+        try:
+            from pymemcache.client.base import Client
+
+            host, _, port = str(servers[0]).partition(":")
+            self._client = Client((host, int(port or 11211)))
+        except ImportError as e:
+            raise ImportError(
+                "memcached backend requires the 'mc' (pyarrow cluster) or "
+                "'pymemcache' package"
+            ) from e
+
+    def get(self, filepath, client_key=None):
+        if self._mc_pipeline:
+            import mc
+
+            self._client.Get(str(filepath), self._buf)
+            return mc.ConvertBuffer(self._buf)
+        value = self._client.get(str(filepath))
+        if value is None:
+            raise KeyError(f"memcached: no value for key {filepath!r}")
+        return value
+
+    def get_text(self, filepath):
+        raise NotImplementedError
+
+
 class FileClient:
     """Facade (`file_client.py:132-167`)."""
 
-    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend}
+    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend,
+                 "memcached": MemcachedBackend}
 
     def __init__(self, backend="disk", **kwargs):
         if backend not in self._backends:
