@@ -11,7 +11,7 @@ replicate padding is numerically identical). Inputs are HWC numpy arrays in
 from __future__ import annotations
 
 import numpy as np
-from scipy.ndimage import correlate
+from scipy.ndimage import correlate1d
 
 from wavemamba_tpu.utils.color import to_y_channel
 
@@ -57,10 +57,13 @@ def _ssim_cly(img1, img2):
     c1 = (0.01 * 255) ** 2
     c2 = (0.03 * 255) ** 2
     k = _gaussian_kernel_1d()
-    window = np.outer(k, k)
 
     def f(x):
-        return correlate(x, window, mode="nearest")
+        # Separable 2-D Gaussian: per-axis replicate padding commutes with
+        # correlation along the other axis, so two 1-D passes are exactly
+        # the dense outer(k, k) correlate at ~1/5 the MACs.
+        return correlate1d(correlate1d(x, k, axis=0, mode="nearest"),
+                           k, axis=1, mode="nearest")
 
     mu1, mu2 = f(img1), f(img2)
     mu1_sq, mu2_sq, mu12 = mu1**2, mu2**2, mu1 * mu2
@@ -77,10 +80,15 @@ def _ssim_3d(img1, img2, max_value):
     c1 = (0.01 * max_value) ** 2
     c2 = (0.03 * max_value) ** 2
     k = _gaussian_kernel_1d()
-    kernel = np.einsum("i,j,k->ijk", k, k, k)
 
     def f(x):
-        return correlate(x, kernel, mode="nearest")
+        # Separable 11^3 Gaussian as three 1-D passes (exact, see _ssim_cly
+        # note): 33 MACs/voxel instead of the dense kernel's 1331 — the
+        # difference between seconds and tens of ms per 512^2 validation
+        # image on a 1-core host.
+        for ax in range(3):
+            x = correlate1d(x, k, axis=ax, mode="nearest")
+        return x
 
     mu1, mu2 = f(img1), f(img2)
     mu1_sq, mu2_sq, mu12 = mu1**2, mu2**2, mu1 * mu2
