@@ -132,6 +132,46 @@ def test_train_pipeline_and_inference(synth_data, tmp_path):
     assert int(model2.state["step"]) == 9  # 6 resumed + 3 new
     assert (exp / "training_states" / "9").is_dir()
 
+    # test_pipeline (offline eval runner, `basicsr/test.py:11-46`) against
+    # the trained checkpoint: metrics computed, result images written.
+    test_opt = {
+        "name": "tiny_e2e_test",
+        "model_type": "FeMaSRModel",
+        "scale": 1,
+        "manual_seed": 0,
+        "datasets": {
+            "test_1": {
+                "name": "synthval",
+                "type": "PairedImageDataset",
+                "dataroot_gt": str(synth_data / "val" / "gt"),
+                "dataroot_lq": str(synth_data / "val" / "input"),
+                "io_backend": {"type": "disk"},
+            },
+        },
+        "network_g": {
+            "type": "WaveMamba", "in_chn": 3, "wf": 8,
+            "n_l_blocks": [1, 1, 1], "n_h_blocks": [1, 1, 1],
+            "ffn_scale": 2.0, "scan_chunk": 16,
+        },
+        "path": {"pretrain_network_g": str(models_dir / "net_g_latest")},
+        "val": {
+            "save_img": True,
+            "metrics": {
+                "psnr": {"type": "psnr", "crop_border": 0,
+                         "test_y_channel": False},
+            },
+        },
+    }
+    test_opt_path = tmp_path / "opt_test.yml"
+    test_opt_path.write_text(yaml.safe_dump(test_opt))
+    from wavemamba_tpu.pipelines.test import test_pipeline
+
+    results = test_pipeline(str(tmp_path), args=["-opt", str(test_opt_path)])
+    assert "synthval" in results and "psnr" in results["synthval"]
+    assert np.isfinite(results["synthval"]["psnr"])
+    vis = tmp_path / "results" / "tiny_e2e_test" / "visualization"
+    assert any(vis.rglob("*.png"))
+
     # inference CLI against the trained checkpoint
     from inference import main as infer_main
 
