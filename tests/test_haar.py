@@ -51,3 +51,28 @@ def test_matches_reference_dwt():
     trec = ref.iwt_init(torch.cat([tll, thl, tlh, thh], dim=1)).numpy()
     rec = iwt2_cat(jnp.concatenate([ll, hl, lh, hh], axis=-1))
     np.testing.assert_allclose(np.transpose(np.asarray(rec), (0, 3, 1, 2)), trec, atol=1e-6)
+
+
+def test_dwt2_conv_matches_slicing():
+    """MXU-conv formulation of the Haar DWT == the parity-slicing reference
+    (used by reduced-precision paths; see ops/haar.py:dwt2_conv)."""
+    import numpy as np
+    from wavemamba_tpu.ops.haar import dwt2, dwt2_conv
+
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 24, 16, 7), jnp.float32)
+    for a, b in zip(dwt2(x), dwt2_conv(x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ps_down_fused_matches_unshuffle():
+    import numpy as np
+    import jax
+    from wavemamba_tpu.models.wavemamba import _ps_down
+    from wavemamba_tpu.ops.nn import conv2d, init_conv2d, pixel_unshuffle
+
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 32, 24, 3), jnp.float32)
+    for r in (2, 4, 8):
+        p = init_conv2d(jax.random.PRNGKey(r), 1, 1, 3 * r * r, 16)
+        a = conv2d(p, pixel_unshuffle(x, r))
+        b = _ps_down(p, x, r)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -27,7 +27,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from wavemamba_tpu.ops.haar import dwt2, iwt2_cat
+from wavemamba_tpu.ops.haar import dwt2, dwt2_conv, iwt2_cat
 from wavemamba_tpu.ops.nn import (
     dot_precision,
     conv2d,
@@ -497,7 +497,11 @@ def _maybe_remat(fn, cfg):
 
 
 def down_frg_apply(p, cfg: WaveMambaConfig, x, x_d):
-    ll, hl, lh, hh = dwt2(x)
+    # Reduced-precision paths take the MXU conv formulation of the Haar
+    # transform (same math, ~10x faster than parity-strided slicing on
+    # TPU); float32 keeps the bit-parity slicing reference.
+    haar = dwt2 if cfg.compute_dtype == "float32" else dwt2_conv
+    ll, hl, lh, hh = haar(x)
     ll = conv2d(p["l_conv"], jnp.concatenate([ll, x_d], axis=-1), padding=1)
     lfss = _maybe_remat(lambda bp, t: lfss_block_apply(bp, cfg, t), cfg)
     hfe = _maybe_remat(
@@ -553,12 +557,39 @@ def init_unet(key, cfg: WaveMambaConfig):
     }
 
 
+def _ps_down(p1x1, x, r):
+    """PixelUnshuffle(r) + 1x1 conv as ONE dense rxr stride-r conv.
+
+    torch pixel-unshuffle channel order is cin*r^2 + dy*r + dx
+    (`arch_util.py:189`), so the 1x1 weight (1, 1, cin*r^2, cout) reshapes
+    directly into an (r, r, cin, cout) HWIO kernel. Identical math to
+    unshuffle-then-1x1, but skips materializing the unshuffled tensor
+    (a measured 3.8 ms relayout at 1080p vs one MXU conv pass).
+    """
+    w = p1x1["w"]
+    cin = x.shape[-1]
+    cout = w.shape[-1]
+    kern = w.reshape(cin, r, r, cout).transpose(1, 2, 0, 3)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kern.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), (r, r), "VALID", dimension_numbers=dn,
+        precision=dot_precision(x),
+    )
+    return y + p1x1["b"].astype(y.dtype)
+
+
 def unet_apply(p, cfg: WaveMambaConfig, x):
     """x: (B, H, W, in_chn), H and W multiples of 8. Global residual output."""
     img = x
-    d1 = conv2d(p["ps_down1"], pixel_unshuffle(x, 2))
-    d2 = conv2d(p["ps_down2"], pixel_unshuffle(x, 4))
-    d3 = conv2d(p["ps_down3"], pixel_unshuffle(x, 8))
+    if cfg.compute_dtype == "float32":  # bit-parity formulation
+        d1 = conv2d(p["ps_down1"], pixel_unshuffle(x, 2))
+        d2 = conv2d(p["ps_down2"], pixel_unshuffle(x, 4))
+        d3 = conv2d(p["ps_down3"], pixel_unshuffle(x, 8))
+    else:
+        d1 = _ps_down(p["ps_down1"], x, 2)
+        d2 = _ps_down(p["ps_down2"], x, 4)
+        d3 = _ps_down(p["ps_down3"], x, 8)
     x1 = conv2d(p["conv_01"], img, padding=1)
     x_l, xh1 = down_frg_apply(p["down_group1"], cfg, x1, d1)
     x_l, xh2 = down_frg_apply(p["down_group2"], cfg, x_l, d2)
