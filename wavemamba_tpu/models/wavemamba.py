@@ -76,12 +76,13 @@ class WaveMambaConfig:
     @classmethod
     def fast(cls, **kw):
         """Tuned TPU inference preset: bf16 convs/matmuls + the FUSED Pallas
-        kernel (dt/B/C projections + scan in one kernel, fp32 state).
-        0.282-0.285 s @1080p / 1.15 s @4K on one v5e — beats the reference
-        GPU's 0.402 s @1080p by ~1.4x (BENCH_NOTES.md). Inference-only
-        (training uses scan_impl='pallas', the fwd+bwd kernel pair). Mosaic
-        kernels only compile on TPU backends, so on CPU/GPU this silently
-        degrades to the portable `fast_xla()` preset instead of crashing."""
+        kernel (dt/B/C projections + scan in one kernel, fp32 state) +
+        MXU-conv Haar/pyramid. 0.257 s @1080p / 1.00 s @4K on one v5e —
+        1.56x the reference GPU's 0.402 s @1080p (BENCH_NOTES.md). Also
+        differentiable (`fast_train()` tunes the chunk for the backward
+        kernel's VMEM budget). Mosaic kernels only compile on TPU backends,
+        so on CPU/GPU this silently degrades to the portable `fast_xla()`
+        preset instead of crashing."""
         import jax
 
         try:
