@@ -97,3 +97,23 @@ def test_tiled_apply_matches_whole_for_local_op():
     # interior matches exactly; borders differ only where the whole-image
     # conv saw zero-padding but tiles saw reflected context
     np.testing.assert_allclose(tiled[:, 2:-2, 2:-2], whole[:, 2:-2, 2:-2], atol=1e-6)
+
+
+def test_conv1x1_dot_lowering_matches():
+    """Reduced-precision 1x1 convs lower to a token matmul (ops/nn.py);
+    must match the conv lowering to bf16 rounding."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.ops.nn import conv2d, init_conv2d
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 10, 16), jnp.float32)
+    p = init_conv2d(jax.random.PRNGKey(2), 1, 1, 16, 24)
+    ref = conv2d(p, x)  # float32: conv lowering (bit-parity path)
+    out = conv2d(p, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+    # strided/grouped/3x3 cases keep the conv path
+    p3 = init_conv2d(jax.random.PRNGKey(3), 3, 3, 16, 16, groups=16)
+    y = conv2d(p3, x.astype(jnp.bfloat16), padding=1, groups=16)
+    assert y.shape == x.shape

@@ -42,6 +42,23 @@ def silu(x):
 def conv2d(params, x, stride=1, padding="SAME", groups=1):
     """NHWC conv. params['w']: (kh, kw, in/groups, out)."""
     w = params["w"]
+    # 1x1/stride-1/ungrouped convs lower to a token matmul in reduced
+    # precision: XLA's TPU conv path carries a fixed per-call spatial cost
+    # (~0.7 ms at 540p regardless of channel width — measured 13x slower
+    # than the equivalent dot). float32 keeps the conv lowering so the
+    # bit-parity path is untouched.
+    if (
+        w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and groups == 1
+        and x.dtype != jnp.float32
+    ):
+        b, h, wd, c = x.shape
+        y = jnp.matmul(
+            x.reshape(b, h * wd, c), w[0, 0].astype(x.dtype),
+            precision=dot_precision(x),
+        ).reshape(b, h, wd, -1)
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        return y
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
