@@ -22,6 +22,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+class _BucketLadder:
+    """Shared static-shape buckets for mixed-size folders (SURVEY §7.4).
+
+    Every distinct padded shape costs a full XLA compile (minutes through a
+    tunneled device), so instead of padding each image to its own
+    128-multiple, images are padded up to the smallest already-seen bucket
+    that fits with at most `max_waste` area overhead; otherwise the image's
+    own 128-multiple becomes a new bucket. A folder with k size clusters
+    compiles exactly k times. Note: SS2D's scan is global, so bucket padding
+    (like the reference's own 128-padding, `inference_wavemamba.py:28-36`)
+    perturbs outputs at the 1e-3 scale near borders; `--no_bucket` restores
+    the reference's exact per-image padding.
+    """
+
+    def __init__(self, multiple=128, max_waste=1.35):
+        self.multiple = multiple
+        self.max_waste = max_waste
+        self.buckets: list[tuple[int, int]] = []
+
+    def shape_for(self, h, w):
+        m = self.multiple
+        H, W = -(-h // m) * m, -(-w // m) * m
+        best = None
+        for bh, bw in self.buckets:
+            if bh >= H and bw >= W and (best is None or bh * bw < best[0] * best[1]):
+                best = (bh, bw)
+        if best is not None and best[0] * best[1] <= self.max_waste * H * W:
+            return best
+        self.buckets.append((H, W))
+        return (H, W)
+
+
+def pad_to_shape(x, H, W):
+    """Reflect-pad (B, h, w, C) bottom/right to exactly (H, W) (numpy
+    reflect re-reflects when the pad exceeds the image extent, matching
+    `pad_to_multiple`'s semantics)."""
+    b, h, w, c = x.shape
+    ph, pw = H - h, W - w
+    if ph == 0 and pw == 0:
+        return x
+    return np.pad(np.asarray(x), ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-i", "--input", type=str, required=True, help="input (LQ) image folder")
@@ -35,6 +78,13 @@ def main(argv=None):
     parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0=off)")
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="AlexNet LPIPS state-dict path (optional)")
+    parser.add_argument("--no_bucket", action="store_true",
+                        help="pad each image to its own 128-multiple (exact "
+                        "reference padding) instead of shared size buckets; "
+                        "costs one XLA compile per distinct padded shape")
+    parser.add_argument("--bucket_waste", type=float, default=1.35,
+                        help="max padded-area overhead before a new bucket "
+                        "is opened (see _BucketLadder)")
     parser.add_argument("--fast", action="store_true",
                         help="tuned bf16 TPU preset (see WaveMambaConfig.fast)")
     parser.add_argument("--wf", type=int, default=32)
@@ -65,6 +115,7 @@ def main(argv=None):
     if args.gt and args.lpips_weights:
         lpips_fn = build_metric({"type": "lpips", "weights_path": args.lpips_weights})
 
+    ladder = _BucketLadder(max_waste=args.bucket_waste)
     os.makedirs(args.output, exist_ok=True)
     if os.path.isfile(args.input):  # single-file input (reference parity)
         paths = [args.input]
@@ -80,9 +131,13 @@ def main(argv=None):
             # Tiles only need the model's x8 divisibility (whole-image mode
             # keeps the reference's x128 padding for output parity).
             out = tiled_apply(fwd, batch, tile_size=args.tile, pad_multiple=8)
-        else:
+        elif args.no_bucket:
             x, h, w = pad_to_multiple(jnp.asarray(batch), 128)
             out = np.asarray(fwd(x))[:, :h, :w]
+        else:
+            h, w = batch.shape[1:3]
+            H, W = ladder.shape_for(h, w)
+            out = np.asarray(fwd(jnp.asarray(pad_to_shape(batch, H, W))))[:, :h, :w]
         dt = time.time() - t0
         sr = batch2img(out)  # BGR uint8
 
@@ -109,6 +164,11 @@ def main(argv=None):
     for k, v in scores.items():
         if v:
             print(f"avg {k}: {float(np.mean(v)):.4f}")
+    # Compile accounting: with bucketing, this equals the bucket count even
+    # for a folder of many distinct sizes (asserted by the e2e test).
+    cache_size = getattr(fwd, "_cache_size", lambda: None)()
+    if cache_size is not None:
+        print(f"jit compiles: {cache_size} (buckets: {len(ladder.buckets)})")
 
 
 if __name__ == "__main__":

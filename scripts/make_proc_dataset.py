@@ -104,6 +104,45 @@ def degrade_lowlight(gt, rng):
     return np.clip(lq + shot + read, 0.0, 1.0)
 
 
+def degrade_lowlight_bsrgan(gt, rng):
+    """Harder, more realistic LLIE degradation (round 3): the LOL-style
+    photometric model composed with a random shuffle of the BSRGAN toolbox
+    (`wavemamba_tpu/data/degradations.py`, the port of the reference's
+    `basicsr/data/bsrgan_util.py`): anisotropic blur, camera-style
+    Gaussian/speckle/Poisson noise, and JPEG compression — the degradation
+    families real night photos carry on top of low exposure.
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from wavemamba_tpu.data import degradations as dg
+
+    # photometric low-light core (always)
+    lq = degrade_lowlight(gt, rng)
+
+    # seed the module-global RNG the toolbox uses
+    np.random.seed(rng.randint(0, 2**31 - 1))
+    import random as _random
+
+    _random.seed(int(rng.randint(0, 2**31 - 1)))
+
+    ops = []
+    if rng.rand() < 0.7:
+        ops.append(lambda im: dg.add_blur(im, sf=1))
+    if rng.rand() < 0.6:
+        ops.append(lambda im: dg.add_gaussian_noise(im, 1, rng.randint(4, 16)))
+    if rng.rand() < 0.2:
+        ops.append(lambda im: dg.add_speckle_noise(im, 1, rng.randint(2, 10)))
+    if rng.rand() < 0.25:
+        ops.append(dg.add_poisson_noise)
+    rng.shuffle(ops)
+    for op in ops:
+        lq = op(lq)
+    if rng.rand() < 0.5:  # JPEG last (like the real camera pipeline)
+        lq = dg.add_jpeg_noise(lq)
+    return np.clip(lq, 0.0, 1.0).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="datasets/proc_llie")
@@ -111,6 +150,9 @@ def main():
     ap.add_argument("--n-val", type=int, default=15)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bsrgan", action="store_true",
+                    help="compose the BSRGAN degradation toolbox (blur/"
+                    "noise/JPEG) on top of the low-light model")
     args = ap.parse_args()
 
     rng = np.random.RandomState(args.seed)
@@ -136,9 +178,10 @@ def main():
         lq_dir = os.path.join(args.out, split, "input")
         os.makedirs(gt_dir, exist_ok=True)
         os.makedirs(lq_dir, exist_ok=True)
+        degrade = degrade_lowlight_bsrgan if args.bsrgan else degrade_lowlight
         for i in range(lo, hi):
             gt = gts[i]
-            lq = degrade_lowlight(gt, rng)
+            lq = degrade(gt, rng)
             name = f"{i:05d}.png"
             cv2.imwrite(os.path.join(gt_dir, name),
                         (gt[:, :, ::-1] * 255.0 + 0.5).astype(np.uint8))

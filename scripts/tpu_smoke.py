@@ -92,7 +92,9 @@ def main():
     dy = jnp.asarray(rs.rand(1, 2, 4096, D), jnp.float32)
 
     def lp(*a):
-        return jnp.sum(ss2d_scan_fused_diff(*a, 128, 8, False) * dy)
+        # interpret=None -> auto: Mosaic on TPU, interpret on CPU (lets the
+        # CPU suite regression-test these exact checks, tests/test_tpu_smoke.py)
+        return jnp.sum(ss2d_scan_fused_diff(*a, 128, 8, None) * dy)
 
     def lr(*a):
         return jnp.sum(pair_ref(*a) * dy)

@@ -1,0 +1,72 @@
+"""Bucketed static-shape inference (VERDICT r2 #9 / SURVEY §7.4): a folder
+of mixed image sizes must compile once per BUCKET, not once per distinct
+padded shape — every extra compile is minutes through a tunneled device."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+from inference import _BucketLadder, pad_to_shape
+
+
+def test_bucket_ladder_reuse_and_waste_cap():
+    l = _BucketLadder()
+    assert l.shape_for(40, 48) == (128, 128)
+    assert l.shape_for(100, 90) == (128, 128)  # reused
+    assert l.shape_for(200, 150) == (256, 256)  # new bucket
+    assert l.shape_for(130, 130) == (256, 256)  # fits within waste cap
+    assert l.shape_for(1080, 1920) == (1152, 1920)
+    assert l.shape_for(1000, 1900) == (1152, 1920)  # reused
+    assert l.buckets == [(128, 128), (256, 256), (1152, 1920)]
+    # Waste cap: a tiny image must NOT ride a huge bucket.
+    assert l.shape_for(8, 8) == (128, 128)
+
+
+def test_pad_to_shape_reflect():
+    x = np.arange(2 * 5 * 4 * 1, dtype=np.float32).reshape(1, 5, 4, 2)
+    y = pad_to_shape(x, 16, 8)
+    assert y.shape == (1, 16, 8, 2)
+    np.testing.assert_array_equal(y[:, :5, :4], x)
+    np.testing.assert_array_equal(y[0, 5, :4], x[0, 3, :4])  # reflected row
+
+
+def test_inference_cli_compiles_once_per_bucket(tmp_path, capsys):
+    import jax
+
+    from wavemamba_tpu.models.wavemamba import WaveMambaConfig, init_wavemamba
+    from wavemamba_tpu.train.checkpoint import save_network
+
+    cfg = WaveMambaConfig(wf=8, n_l_blocks=(1, 1, 1), n_h_blocks=(1, 1, 1),
+                          scan_chunk=16)
+    params = init_wavemamba(jax.random.PRNGKey(0), cfg)
+    models_dir = tmp_path / "models"
+    save_network(params, str(models_dir), "net_g", 1)
+
+    # Three images, three distinct sizes, TWO buckets (128x128 and 256x256).
+    in_dir = tmp_path / "lq"
+    os.makedirs(in_dir)
+    rs = np.random.RandomState(0)
+    for name, (h, w) in [("a.png", (40, 48)), ("b.png", (100, 90)),
+                         ("c.png", (200, 150))]:
+        cv2.imwrite(str(in_dir / name), rs.randint(0, 255, (h, w, 3), np.uint8))
+
+    from inference import main as infer_main
+
+    out_dir = tmp_path / "out"
+    infer_main([
+        "-i", str(in_dir), "-w", str(models_dir / "net_g_1"),
+        "-o", str(out_dir),
+        "--wf", "8", "--n_l_blocks", "1", "1", "1",
+        "--n_h_blocks", "1", "1", "1",
+    ])
+    out = capsys.readouterr().out
+    assert len(list(out_dir.iterdir())) == 3
+    # Output sizes must equal input sizes (crop back from the bucket).
+    assert cv2.imread(str(out_dir / "a.png")).shape == (40, 48, 3)
+    assert cv2.imread(str(out_dir / "c.png")).shape == (200, 150, 3)
+    line = [ln for ln in out.splitlines() if ln.startswith("jit compiles:")]
+    assert line, out
+    assert line[0].startswith("jit compiles: 2 (buckets: 2)"), line[0]

@@ -185,27 +185,46 @@ def device_prefetch(iterator, sharding=None, depth=2):
     # a slow interconnect (or a tunneled device) can block for the whole
     # transfer, and doing it inline would serialize transfers with the train
     # step. One worker preserves batch order.
-    from concurrent.futures import ThreadPoolExecutor
+    import queue
+    import threading
 
     it = iter(iterator)
+    # Daemon worker: an in-flight device_put through a slow tunnel must not
+    # block interpreter exit after the consumer abandons the generator
+    # (non-daemon threads are joined at exit). The bounded queue provides the
+    # `depth`-deep double-buffer; `stop` ends the worker when the consumer
+    # closes the generator early.
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
 
-    def fetch():
+    def worker():
         try:
-            return put(next(it))
-        except StopIteration:
-            return _EXHAUSTED
+            for batch in it:
+                staged = put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_EXHAUSTED)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
 
-    ex = ThreadPoolExecutor(1)
-    buf = collections.deque(ex.submit(fetch) for _ in range(depth))
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
     try:
-        while buf:
-            item = buf.popleft().result()
+        while True:
+            item = q.get()
             if item is _EXHAUSTED:
                 break
-            buf.append(ex.submit(fetch))
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
-        ex.shutdown(wait=False, cancel_futures=True)
+        stop.set()
 
 
 def build_dataset(opt: dict):

@@ -60,10 +60,15 @@ class WaveMambaConfig:
     # Execution knobs (not part of the checkpoint). Defaults are the
     # bit-parity float32 path; `WaveMambaConfig.fast()` is the tuned bf16
     # TPU inference preset (measured on v5e, see BENCH_NOTES.md).
-    scan_impl: str = "chunked"  # 'par' | 'chunked' | 'ref' | 'pallas'
+    scan_impl: str = "chunked"  # 'par'|'chunked'|'ref'|'pallas'|'pallas_fused'|'seq_sharded'
     scan_chunk: int = 256
     scan_sub: int = 32
     scan_dtype: str = "float32"  # 'bfloat16' halves scan HBM traffic
+    # For scan_impl='seq_sharded': the jax Mesh whose `scan_mesh_axis` the
+    # token axis L is sharded over (beyond-single-chip-memory frames; see
+    # parallel/seq_scan.py). All other impls ignore these.
+    scan_mesh: object = None
+    scan_mesh_axis: str = "data"
     # Rematerialize LFSS/HFE blocks under autodiff: the backward pass
     # recomputes block forwards instead of saving the scan's chunked
     # residuals (which otherwise exceed HBM at training shapes; a
@@ -72,6 +77,13 @@ class WaveMambaConfig:
     # 'bfloat16' runs convs/matmuls in bf16 on the MXU (scan state stays
     # fp32); 'float32' is bit-parity mode.
     compute_dtype: str = "float32"
+    # 'fused' collapses the model's multi-conv chains (LFSS ffn, qkv+dwconv,
+    # PAConv, HFE FeedForward, SS2D dwconv, stray dense 3x3s) into single
+    # Pallas kernels (ops/conv_fused.py) — the r2 finding is that XLA TPU
+    # convs cost ~0.7-1 ms *per call* at 540p, so chain fusion removes pure
+    # dispatch. Inference-only (no custom VJP); 'xla' is the differentiable
+    # and bit-parity lowering.
+    conv_impl: str = "xla"
 
     @classmethod
     def fast(cls, **kw):
@@ -93,6 +105,7 @@ class WaveMambaConfig:
             return cls.fast_xla(**kw)
         kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("compute_dtype", "bfloat16")
+        kw.setdefault("conv_impl", "fused")
         return cls(**kw)
 
     @classmethod
@@ -194,7 +207,12 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
     d, n, r = cfg.d_inner, cfg.d_state, cfg.dt_rank
     xz = linear(p["in_proj"], x)
     xx, z = xz[..., :d], xz[..., d:]
-    xx = silu(conv2d(p["conv2d"], xx, padding=(cfg.d_conv - 1) // 2, groups=d))
+    if cfg.conv_impl == "fused" and cfg.d_conv == 3:
+        from wavemamba_tpu.ops.conv_fused import dw_act
+
+        xx = dw_act(p["conv2d"], xx, "silu")
+    else:
+        xx = silu(conv2d(p["conv2d"], xx, padding=(cfg.d_conv - 1) // 2, groups=d))
 
     if cfg.scan_impl == "pallas_fused":
         # Fused projections+scan kernel: reads the token stream once per
@@ -212,12 +230,18 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
         x0 = xx.reshape(b, h * w, d)
         xT = xx.transpose(0, 2, 1, 3).reshape(b, h * w, d)
         # reference direction order: 0=row fwd, 1=col fwd, 2=row rev, 3=col rev
+        # scan_dtype selects the y STREAMING dtype (state math stays f32 in
+        # VMEM): bf16 halves the kernel's HBM writes and every downstream
+        # sum/transpose/LayerNorm read at 540p-level token counts.
+        y_dt = None if cfg.scan_dtype == "float32" else cfg.scan_dtype
         pr = ss2d_scan_fused_diff(x0, wx_t[jnp.array([0, 2])], dtw_t[jnp.array([0, 2])],
                                   bias[jnp.array([0, 2])], At[jnp.array([0, 2])],
-                                  dsk[jnp.array([0, 2])], cfg.scan_chunk)
+                                  dsk[jnp.array([0, 2])], cfg.scan_chunk, 8,
+                                  None, y_dt)
         pc = ss2d_scan_fused_diff(xT, wx_t[jnp.array([1, 3])], dtw_t[jnp.array([1, 3])],
                                   bias[jnp.array([1, 3])], At[jnp.array([1, 3])],
-                                  dsk[jnp.array([1, 3])], cfg.scan_chunk)
+                                  dsk[jnp.array([1, 3])], cfg.scan_chunk, 8,
+                                  None, y_dt)
         y_rows = pr[:, 0] + pr[:, 1]  # (B, L, D)
         y_cols = (pc[:, 0] + pc[:, 1]).reshape(b, w, h, d).transpose(0, 2, 1, 3)
         y = (y_rows.reshape(b, h, w, d) + y_cols).astype(x.dtype)
@@ -233,11 +257,33 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
     Cs = x_dbl[..., r + n :]
     A = -jnp.exp(p["A_logs"].astype(jnp.float32))  # (4, D, N)
 
-    y = selective_scan(
-        xs, dts, A, Bs, Cs, p["Ds"].astype(jnp.float32), p["dt_projs_b"].astype(jnp.float32),
-        impl=cfg.scan_impl, chunk=cfg.scan_chunk, sub=cfg.scan_sub,
-        scan_dtype=jnp.dtype(cfg.scan_dtype),
-    )  # (B, 4, L, D) float32
+    Dsk = p["Ds"].astype(jnp.float32)
+    bias = p["dt_projs_b"].astype(jnp.float32)
+    if cfg.scan_impl == "seq_sharded":
+        # L sharded over the mesh axis (beyond-single-chip-memory path).
+        # Zero-pad L to the axis size: padded tokens have u=0 so b_t=0 and
+        # the state passes through them unchanged (outputs discarded).
+        from wavemamba_tpu.parallel.seq_scan import selective_scan_seq_sharded
+
+        if cfg.scan_mesh is None:
+            raise ValueError("scan_impl='seq_sharded' requires cfg.scan_mesh")
+        n_sh = cfg.scan_mesh.shape[cfg.scan_mesh_axis]
+        L = xs.shape[2]
+        padL = (-L) % n_sh
+        if padL:
+            padw = ((0, 0), (0, 0), (0, padL), (0, 0))
+            xs, dts, Bs, Cs = (jnp.pad(t, padw) for t in (xs, dts, Bs, Cs))
+        y = selective_scan_seq_sharded(
+            xs, dts, A, Bs, Cs, Dsk, bias, mesh=cfg.scan_mesh,
+            axis=cfg.scan_mesh_axis, chunk=cfg.scan_chunk,
+            scan_dtype=jnp.dtype(cfg.scan_dtype),
+        )[:, :, :L]
+    else:
+        y = selective_scan(
+            xs, dts, A, Bs, Cs, Dsk, bias,
+            impl=cfg.scan_impl, chunk=cfg.scan_chunk, sub=cfg.scan_sub,
+            scan_dtype=jnp.dtype(cfg.scan_dtype),
+        )  # (B, 4, L, D) float32
     y = _merge_directions(y, h, w).astype(x.dtype)
     y = layer_norm(p["out_norm"], y, eps=1e-5)
     y = y * silu(z)
@@ -258,7 +304,11 @@ def init_ffn(key, c, expand=2):
     }
 
 
-def ffn_apply(p, x):
+def ffn_apply(p, x, fuse=False):
+    if fuse:
+        from wavemamba_tpu.ops.conv_fused import ffn_chain
+
+        return ffn_chain(p, x)
     dw = p["conv2"]["w"].shape[-1]
     y = conv2d(p["conv1"], x)
     y = conv2d(p["conv2"], y, padding=1, groups=dw)
@@ -289,7 +339,8 @@ def lfss_block_apply(p, cfg: WaveMambaConfig, x):
     y = layer_norm(p["ln_1"], x, eps=1e-6)
     x = x * p["skip_scale"].astype(x.dtype) + ss2d_apply(p["self_attention"], cfg, y)
     x = x * p["skip_scale2"].astype(x.dtype) + ffn_apply(
-        p["conv_blk"], layer_norm(p["ln_2"], x, eps=1e-5)
+        p["conv_blk"], layer_norm(p["ln_2"], x, eps=1e-5),
+        fuse=cfg.conv_impl == "fused",
     )
     return x
 
@@ -331,7 +382,11 @@ def init_paconv(key, nf):
     }
 
 
-def paconv_apply(p, x):
+def paconv_apply(p, x, fuse=False):
+    if fuse:
+        from wavemamba_tpu.ops.conv_fused import paconv_chain
+
+        return paconv_chain(p, x)
     y = jax.nn.sigmoid(conv2d(p["k2"], x))
     return conv2d(p["k4"], conv2d(p["k3"], x, padding=1) * y, padding=1)
 
@@ -340,9 +395,9 @@ def init_matching_transformation(key, c):
     return {"paconv": init_paconv(key, 2 * c)}
 
 
-def matching_transformation_apply(p, x, perc):
+def matching_transformation_apply(p, x, perc, fuse=False):
     sel = matching(x, perc)
-    return paconv_apply(p["paconv"], jnp.concatenate([x, sel], axis=-1))
+    return paconv_apply(p["paconv"], jnp.concatenate([x, sel], axis=-1), fuse=fuse)
 
 
 def init_cmt_attention(key, c, num_heads=1):
@@ -356,7 +411,7 @@ def init_cmt_attention(key, c, num_heads=1):
     }
 
 
-def cmt_attention_apply(p, x, perc, num_heads=1):
+def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False):
     """Transposed (channel) attention with perception-matched queries
     (`wavemamba_arch.py:772-798`).
 
@@ -369,9 +424,14 @@ def cmt_attention_apply(p, x, perc, num_heads=1):
     math, same outputs."""
     b, h, w, c = x.shape
     ch = c // num_heads
-    qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x), padding=1, groups=3 * c)
+    if fuse:
+        from wavemamba_tpu.ops.conv_fused import qkv_chain
+
+        qkv = qkv_chain(p, x)
+    else:
+        qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x), padding=1, groups=3 * c)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-    q = matching_transformation_apply(p["matching_transformation"], q, perc)
+    q = matching_transformation_apply(p["matching_transformation"], q, perc, fuse=fuse)
 
     def heads(t):  # (B,H,W,C) -> (B, L, heads, C/heads) — a free reshape
         return t.reshape(b, h * w, num_heads, ch)
@@ -396,8 +456,14 @@ def init_feed_forward(key, c):
     }
 
 
-def feed_forward_apply(p, x, perc):
+def feed_forward_apply(p, x, perc, fuse=False):
     c = x.shape[-1]
+    if fuse:
+        from wavemamba_tpu.ops.conv_fused import ff_in_chain, ff_out_chain
+
+        y = ff_in_chain(p["project_in"], x)
+        y = matching_transformation_apply(p["matching_transformation"], y, perc, fuse=True)
+        return ff_out_chain(p["project_out"], y)
     y = conv2d(p["project_in"][0], x)
     y = conv2d(p["project_in"][1], y, padding=1, groups=c)
     y = matching_transformation_apply(p["matching_transformation"], y, perc)
@@ -415,7 +481,11 @@ def init_feed_forward_restormer(key, c, expand=1):
     }
 
 
-def feed_forward_restormer_apply(p, x):
+def feed_forward_restormer_apply(p, x, fuse=False):
+    if fuse:
+        from wavemamba_tpu.ops.conv_fused import restormer_chain
+
+        return restormer_chain(p, x)
     y = conv2d(p["project_in"], x)
     dw = p["dwconv"]["w"].shape[-1]
     y = conv2d(p["dwconv"], y, padding=1, groups=dw)
@@ -438,14 +508,15 @@ def init_hfe_block(key, c, ffn_restormer=False):
     return p
 
 
-def hfe_block_apply(p, x, perc, ffn_restormer=False):
+def hfe_block_apply(p, x, perc, ffn_restormer=False, fuse=False):
     """`wavemamba_arch.py:847-854`. LayerNorm2d == channel LN (eps 1e-6)."""
     percn = layer_norm(p["LayerNorm"], perc, eps=1e-6)
-    x = x + cmt_attention_apply(p["attn"], layer_norm(p["norm1"], x, eps=1e-6), percn)
+    x = x + cmt_attention_apply(p["attn"], layer_norm(p["norm1"], x, eps=1e-6),
+                                percn, fuse=fuse)
     if ffn_restormer:
-        x = x + feed_forward_restormer_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6))
+        x = x + feed_forward_restormer_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), fuse=fuse)
     else:
-        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), percn)
+        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), percn, fuse=fuse)
     return x
 
 
@@ -503,10 +574,17 @@ def down_frg_apply(p, cfg: WaveMambaConfig, x, x_d):
     # TPU); float32 keeps the bit-parity slicing reference.
     haar = dwt2 if cfg.compute_dtype == "float32" else dwt2_conv
     ll, hl, lh, hh = haar(x)
-    ll = conv2d(p["l_conv"], jnp.concatenate([ll, x_d], axis=-1), padding=1)
+    ll_in = jnp.concatenate([ll, x_d], axis=-1)
+    if cfg.conv_impl == "fused":
+        from wavemamba_tpu.ops.conv_fused import dense3x3
+
+        ll = dense3x3(p["l_conv"], ll_in)
+    else:
+        ll = conv2d(p["l_conv"], ll_in, padding=1)
     lfss = _maybe_remat(lambda bp, t: lfss_block_apply(bp, cfg, t), cfg)
     hfe = _maybe_remat(
-        lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer), cfg
+        lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer,
+                                          fuse=cfg.conv_impl == "fused"), cfg
     )
     for blk in p["l_blk"]:
         ll = lfss(blk, ll)
@@ -529,13 +607,19 @@ def init_up_frg(key, cfg: WaveMambaConfig, n_l, n_h):
 def up_frg_apply(p, cfg: WaveMambaConfig, x_l, x_h):
     lfss = _maybe_remat(lambda bp, t: lfss_block_apply(bp, cfg, t), cfg)
     hfe = _maybe_remat(
-        lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer), cfg
+        lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer,
+                                          fuse=cfg.conv_impl == "fused"), cfg
     )
     for blk in p["l_blk"]:
         x_l = lfss(blk, x_l)
     for blk in p["h_blk"]:
         x_h = hfe(blk, x_h, x_l)
-    x_h = conv2d(p["h_out_conv"], x_h, padding=1)
+    if cfg.conv_impl == "fused":
+        from wavemamba_tpu.ops.conv_fused import dense3x3
+
+        x_h = dense3x3(p["h_out_conv"], x_h)
+    else:
+        x_h = conv2d(p["h_out_conv"], x_h, padding=1)
     return iwt2_cat(jnp.concatenate([x_l, x_h], axis=-1))
 
 
@@ -591,13 +675,22 @@ def unet_apply(p, cfg: WaveMambaConfig, x):
         d1 = _ps_down(p["ps_down1"], x, 2)
         d2 = _ps_down(p["ps_down2"], x, 4)
         d3 = _ps_down(p["ps_down3"], x, 8)
-    x1 = conv2d(p["conv_01"], img, padding=1)
+    if cfg.conv_impl == "fused":
+        from wavemamba_tpu.ops.conv_fused import dense3x3
+
+        x1 = dense3x3(p["conv_01"], img.astype(x.dtype))
+    else:
+        x1 = conv2d(p["conv_01"], img, padding=1)
     x_l, xh1 = down_frg_apply(p["down_group1"], cfg, x1, d1)
     x_l, xh2 = down_frg_apply(p["down_group2"], cfg, x_l, d2)
     x_l, xh3 = down_frg_apply(p["down_group3"], cfg, x_l, d3)
     x_l = up_frg_apply(p["up_group3"], cfg, x_l, xh3)
     x_l = up_frg_apply(p["up_group2"], cfg, x_l, xh2)
     x_l = up_frg_apply(p["up_group1"], cfg, x_l, xh1)
+    if cfg.conv_impl == "fused":
+        from wavemamba_tpu.ops.conv_fused import dense3x3
+
+        return dense3x3(p["last"], x_l) + img
     return conv2d(p["last"], x_l, padding=1) + img
 
 

@@ -50,6 +50,7 @@ def conv2d(params, x, stride=1, padding="SAME", groups=1):
     if (
         w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and groups == 1
         and x.dtype != jnp.float32
+        and (padding in ("SAME", "VALID") or padding == 0)
     ):
         b, h, wd, c = x.shape
         y = jnp.matmul(

@@ -38,6 +38,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _resolve_interpret(interpret):
+    """interpret=None means auto: compile with Mosaic on TPU backends, run
+    the kernel in interpret mode elsewhere (CPU CI, the smoke's own tests).
+    Resolved at trace time (interpret is a static jit argument)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def _shift_down(x, s, fill):
     """x: (R, N, D) -> prepend `s` fill-rows, drop the last `s`."""
     if s == 0:
@@ -123,9 +132,10 @@ def _scan_kernel(u_ref, dr_ref, b_ref, c_ref, a_ref, dsk_ref, bias_ref, y_ref,
     jax.jit, static_argnames=("chunk", "sub", "interpret", "return_carries")
 )
 def selective_scan_pallas(u, delta, A, Bs, Cs, D_skip, delta_bias,
-                          chunk=512, sub=8, interpret=False,
+                          chunk=512, sub=8, interpret=None,
                           return_carries=False):
     """Public-layout wrapper; see `ops/scan.py` for layout docs."""
+    interpret = _resolve_interpret(interpret)
     B, K, L, D = u.shape
     N = A.shape[-1]
     G = B * K
@@ -305,10 +315,11 @@ def _scan_bwd_kernel(u_ref, dr_ref, b_ref, c_ref, dy_ref, hin_ref, a_ref,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
 def selective_scan_pallas_bwd(u, delta, A, Bs, Cs, D_skip, delta_bias,
-                              carries, dy, chunk=256, sub=8, interpret=False):
+                              carries, dy, chunk=256, sub=8, interpret=None):
     """Backward pass. Inputs in public layouts + `carries` from the forward
     kernel and cotangent dy (B, K, L, D). Returns grads for
     (u, delta, A, Bs, Cs, D_skip, delta_bias)."""
+    interpret = _resolve_interpret(interpret)
     B, K, L, D = u.shape
     N = A.shape[-1]
     G = B * K
@@ -514,16 +525,18 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     y = jnp.stack(ys, axis=0).transpose(1, 0, 2).reshape(T, 2 * D)
     y = y + dsk2 * u
 
-    y0_ref[0] = y[:, :D]
+    y0_ref[0] = y[:, :D].astype(y0_ref.dtype)
     # reverse half's y is in reversed token order — un-reverse on the MXU.
-    y1_ref[0] = permute(P, y[:, D:])
+    y1_ref[0] = permute(P, y[:, D:]).astype(y1_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "sub", "interpret", "return_carries")
+    jax.jit,
+    static_argnames=("chunk", "sub", "interpret", "return_carries", "out_dtype"),
 )
 def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
-                    interpret=False, return_carries=False):
+                    interpret=None, return_carries=False,
+                    out_dtype=None):
     """Fused projection+scan for ONE direction pair.
 
     x_tokens: (B, L, D) token stream (row-major or transposed, per pair).
@@ -532,8 +545,13 @@ def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
     Returns y: (B, 2, L, D) — forward-scan and reverse-scan outputs, both
     in original token order. With return_carries=True also returns the
     chunk-entry states (B, 2, nc, N, D) in PROCESSING order (residuals for
-    the fused backward kernel).
+    the fused backward kernel). out_dtype (default float32) selects the
+    dtype y is STREAMED to HBM in — bf16 halves the write traffic and the
+    read traffic of every downstream consumer (sum/transpose/LayerNorm);
+    the scan state and all in-kernel math stay float32.
     """
+    interpret = _resolve_interpret(interpret)
+    y_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32
     B, L, D = x_tokens.shape
     _, N, _ = A.shape  # (2, N, D)
     Rk = dtw.shape[1]
@@ -570,8 +588,8 @@ def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
 
     out_specs = (y0_spec, y1_spec)
     out_shape = (
-        jax.ShapeDtypeStruct((B, Lp, D), f32),
-        jax.ShapeDtypeStruct((B, Lp, D), f32),
+        jax.ShapeDtypeStruct((B, Lp, D), y_dtype),
+        jax.ShapeDtypeStruct((B, Lp, D), y_dtype),
     )
     if return_carries:
         cr_spec = pl.BlockSpec((1, 1, N, 2 * D), lambda b, c: (b, c, 0, 0),
@@ -752,12 +770,13 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "sub", "interpret"))
 def ss2d_scan_fused_bwd(x_tokens, wx, dtw, bias, A, dsk, carries, dy,
-                        chunk=256, sub=8, interpret=False):
+                        chunk=256, sub=8, interpret=None):
     """Backward of `ss2d_scan_fused`. dy: (B, 2, L, D) cotangent.
 
     Returns (dx, dwx, ddtw, dbias, dA, ddsk) with dx summed over the two
     directions ((B, L, D), in x_tokens.dtype) and per-direction weight
     grads in the forward's layouts."""
+    interpret = _resolve_interpret(interpret)
     B, L, D = x_tokens.shape
     _, N, _ = A.shape
     Rk = dtw.shape[1]
@@ -852,22 +871,23 @@ def ss2d_scan_fused_bwd(x_tokens, wx, dtw, bias, A, dsk, carries, dy,
 # Differentiable entry point: primal = the inference kernel (no residuals);
 # under AD the forward also emits chunk-entry carries and the backward is
 # the fused kernel above.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def ss2d_scan_fused_diff(x_tokens, wx, dtw, bias, A, dsk, chunk=256, sub=8,
-                         interpret=False):
+                         interpret=None, out_dtype=None):
     return ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=chunk,
-                           sub=sub, interpret=interpret)
+                           sub=sub, interpret=interpret, out_dtype=out_dtype)
 
 
-def _fused_diff_fwd(x_tokens, wx, dtw, bias, A, dsk, chunk, sub, interpret):
+def _fused_diff_fwd(x_tokens, wx, dtw, bias, A, dsk, chunk, sub, interpret,
+                    out_dtype):
     y, carries = ss2d_scan_fused(
         x_tokens, wx, dtw, bias, A, dsk, chunk=chunk, sub=sub,
-        interpret=interpret, return_carries=True,
+        interpret=interpret, return_carries=True, out_dtype=out_dtype,
     )
     return y, (x_tokens, wx, dtw, bias, A, dsk, carries)
 
 
-def _fused_diff_bwd(chunk, sub, interpret, res, dy):
+def _fused_diff_bwd(chunk, sub, interpret, out_dtype, res, dy):
     x_tokens, wx, dtw, bias, A, dsk, carries = res
     return ss2d_scan_fused_bwd(
         x_tokens, wx, dtw, bias, A, dsk, carries, dy, chunk=chunk, sub=sub,

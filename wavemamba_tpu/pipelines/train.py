@@ -148,6 +148,11 @@ def train_pipeline(root_path, args=None):
                 logger.info("Saving models and training states.")
                 model.save(current_iter)
             if val_freq and val_loader is not None and current_iter % val_freq == 0:
+                # NOTE: no sharding on the val prefetch — deliberate. Each
+                # process evaluates its round-robin shard of the val set on
+                # its own device 0 (batch-1 host arrays), and the global
+                # averages come from validation()'s process_allgather; a
+                # mesh sharding here would wrongly scatter batch-1 arrays.
                 _, improved = model.validation(
                     device_prefetch(val_loader),
                     current_iter,

@@ -135,8 +135,12 @@ class RestorationModel:
         if tile or (h * w >= 8000 * 8000):
             from wavemamba_tpu.models.tiling import tiled_apply
 
+            # Key the jit cache on the tile config (tiles are fixed-shape
+            # per config; keying on None would alias different tile sizes).
+            key = ("tile", (tile or {}).get("tile_size", 240),
+                   (tile or {}).get("tile_pad", 16))
             return tiled_apply(
-                lambda x: self._eval_fn(None)(params, x), lq_np,
+                lambda x: self._eval_fn(key)(params, x), lq_np,
                 tile_size=(tile or {}).get("tile_size", 240),
                 tile_pad=(tile or {}).get("tile_pad", 16),
                 pad_multiple=pad_multiple,

@@ -70,10 +70,21 @@ class MemcachedBackend:
         except ImportError:
             pass
         try:
-            from pymemcache.client.base import Client
+            if len(servers) > 1:
+                # Cluster semantics (the reference's `mc` client shards over
+                # its server list): use pymemcache's consistent-hash client.
+                from pymemcache.client.hash import HashClient
 
-            host, _, port = str(servers[0]).partition(":")
-            self._client = Client((host, int(port or 11211)))
+                pairs = []
+                for s in servers:
+                    host, _, port = str(s).partition(":")
+                    pairs.append((host, int(port or 11211)))
+                self._client = HashClient(pairs)
+            else:
+                from pymemcache.client.base import Client
+
+                host, _, port = str(servers[0]).partition(":")
+                self._client = Client((host, int(port or 11211)))
         except ImportError as e:
             raise ImportError(
                 "memcached backend requires the 'mc' (pyarrow cluster) or "
