@@ -113,19 +113,19 @@ def test_fused_kernel_matches_unfused_ss2d():
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 20, 16))
     y_ref = wm.ss2d_apply(p, cfg, x)
 
-    # Patch the fused entry point to interpret mode for CPU testing.
-    orig = sp.ss2d_scan_fused_diff
-    sp.ss2d_scan_fused_diff = lambda x, wx, dtw, bias, A, dsk, chunk, sub=8: orig(
-        x, wx, dtw, bias, A, dsk, 64, 4, True
-    )
-    try:
-        cfg_f = dataclasses.replace(cfg, scan_impl="pallas_fused")
-        y_fused = wm.ss2d_apply(p, cfg_f, x)
-    finally:
-        sp.ss2d_scan_fused_diff = orig
+    # Kernels auto-interpret on CPU (interpret=None); exercise the exact
+    # model call path, incl. the bf16 y-streaming option.
+    cfg_f = dataclasses.replace(cfg, scan_impl="pallas_fused", scan_chunk=64)
+    y_fused = wm.ss2d_apply(p, cfg_f, x)
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_ref), rtol=3e-5, atol=3e-5
     )
+    cfg_b = dataclasses.replace(cfg_f, scan_dtype="bfloat16")
+    y_b = wm.ss2d_apply(p, cfg_b, x)
+    np.testing.assert_allclose(
+        np.asarray(y_b, np.float32), np.asarray(y_ref), rtol=0.05, atol=0.05
+    )
+    assert sp is not None  # keep the import referenced
 
 
 def _fused_pair_reference(x, wx, dtw, bias, A, dsk, R, N):
@@ -208,15 +208,10 @@ def test_fused_vjp_trains_tiny_model():
 
     g_ref = jax.grad(loss)(p, cfg)
 
-    orig = sp.ss2d_scan_fused_diff
-    sp.ss2d_scan_fused_diff = lambda xt, wx, dtw, bias, A, dsk, chunk, sub=8: orig(
-        xt, wx, dtw, bias, A, dsk, 32, 4, True
-    )
-    try:
-        cfg_f = dataclasses.replace(cfg, scan_impl="pallas_fused")
-        g_fused = jax.grad(loss)(p, cfg_f)
-    finally:
-        sp.ss2d_scan_fused_diff = orig
+    # Kernels auto-interpret on CPU; exercise the exact model call path.
+    cfg_f = dataclasses.replace(cfg, scan_impl="pallas_fused", scan_chunk=32)
+    g_fused = jax.grad(loss)(p, cfg_f)
+    assert sp is not None  # keep the import referenced
 
     flat_r, _ = jax.tree_util.tree_flatten(g_ref)
     flat_f, tree_f = jax.tree_util.tree_flatten(g_fused)

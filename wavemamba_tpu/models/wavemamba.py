@@ -74,6 +74,9 @@ class WaveMambaConfig:
     # residuals (which otherwise exceed HBM at training shapes; a
     # batch-8 512^2 step saved ~38 GB without this). No effect on eval.
     remat: bool = True
+    # 'save_scan' saves the fused scan kernel's outputs/residuals across the
+    # block remat ('full' recomputes everything, the r2 behavior).
+    remat_policy: str = "save_scan"
     # 'bfloat16' runs convs/matmuls in bf16 on the MXU (scan state stays
     # fp32); 'float32' is bit-parity mode.
     compute_dtype: str = "float32"
@@ -105,17 +108,28 @@ class WaveMambaConfig:
             return cls.fast_xla(**kw)
         kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("compute_dtype", "bfloat16")
-        kw.setdefault("conv_impl", "fused")
+        # y streamed bf16 (state math stays f32): identical fidelity to f32
+        # streaming on-chip (54.7 vs 54.6 dB @512^2 — the post-scan
+        # LayerNorm absorbs the rounding), ~5 ms faster @1080p (r3 bench).
+        kw.setdefault("scan_dtype", "bfloat16")
+        # conv_impl='fused' is available but NOT default: the chain kernels
+        # measured ~1.5-2 ms/call SLOWER than XLA's conv path at 540p
+        # (BENCH_NOTES r3) — flip once the kernel beats XLA.
         return cls(**kw)
 
     @classmethod
     def fast_train(cls, **kw):
         """Tuned TPU TRAINING preset: fused Pallas kernel with its fused
         backward (custom VJP, direction-uniform combined-lane kernel) +
-        bf16 convs + block remat. 0.844 s/step batch 8 @512^2 on one v5e
-        (9.5 img/s). chunk=128 measured fastest (192: 0.869 s; 256
-        compiles only below ~256 chunks per stream — a Mosaic resource
-        limit at model sequence lengths)."""
+        bf16 convs + block remat with the save_scan policy (saves the scan
+        kernel's y/carries across the block remat, removing the duplicate
+        scan forward from the backward pass: 0.798 -> 0.690 s/step) + bf16
+        y streaming (0.675 s/step, loss parity to 2e-6 relative). 0.675
+        s/step batch 8 @512^2 on one v5e (11.9 img/s; r2 was 0.844).
+        chunk=128 measured fastest (192: 0.869 s; 256 overflows the fused
+        backward's VMEM budget — ~10 live (T, N, 2D) f32 work arrays are
+        ~20 MB at T=256 vs the 16 MB scoped limit; 192 is ~15 MB and the
+        isolated kernel compiles there)."""
         import jax
 
         try:
@@ -127,6 +141,7 @@ class WaveMambaConfig:
         kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("scan_chunk", 128)
         kw.setdefault("compute_dtype", "bfloat16")
+        kw.setdefault("scan_dtype", "bfloat16")
         return cls(**kw)
 
     @classmethod
@@ -565,7 +580,16 @@ def init_down_frg(key, cfg: WaveMambaConfig, n_l, n_h):
 
 
 def _maybe_remat(fn, cfg):
-    return jax.checkpoint(fn) if cfg.remat else fn
+    if not cfg.remat:
+        return fn
+    if cfg.remat_policy == "save_scan" and cfg.scan_impl == "pallas_fused":
+        # Save the fused scan kernel's outputs + residuals across the block
+        # remat (everything else — convs, norms, projections — recomputes).
+        # Costs ~100 MB/block of saved bf16 y + f32 carries at training
+        # shapes; removes the duplicate scan forward from the backward.
+        policy = jax.checkpoint_policies.save_only_these_names("ss2d_scan")
+        return jax.checkpoint(fn, policy=policy)
+    return jax.checkpoint(fn)
 
 
 def down_frg_apply(p, cfg: WaveMambaConfig, x, x_d):

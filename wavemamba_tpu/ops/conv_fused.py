@@ -107,10 +107,12 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
     else:
         t = blk(1, 1)
 
-    # Work in the input dtype (bf16 on the fast path): the dominant VMEM
-    # cost is the chain intermediates; f32 working arrays overflow the
-    # scoped budget at C=96 (measured: 21.5 MB vs the 16 MB limit).
-    wdt = t.dtype
+    # Working dtype: f32 for elementwise/VPU stages (bf16 elementwise on
+    # the VPU pays convert penalties), bf16 only as MXU dot operands. The
+    # raised vmem_limit_bytes accommodates the f32 intermediates at the
+    # small default tile.
+    wdt = jnp.float32
+    t = t.astype(wdt)
     x0 = t
     cur = t
     cur_h = h  # remaining halo rings around the (th, tw) core
@@ -133,6 +135,11 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
         ok = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
         return jnp.where(ok, v, jnp.zeros_like(v))
 
+    # Static tracking: does the outside-image region still hold zeros?
+    # (True until a stage maps 0 -> nonzero; lets spatial stages skip the
+    # mask when it would be a no-op.)
+    pad_is_zero = True
+
     wi = 0
     for stage in stages:
         kind = stage[0]
@@ -146,6 +153,7 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
             cur = _mxu_dot(cur, w, wdt)
             if b is not None:
                 cur = cur + b[0].astype(wdt)
+                pad_is_zero = False
         elif kind == "dense":
             w = w_refs[wi][...]
             wi += 1
@@ -153,13 +161,21 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
             if stage[2]:
                 b = w_refs[wi][...]
                 wi += 1
-            cur = mask_outside(cur, cur_h)
+            if not pad_is_zero:
+                cur = mask_outside(cur, cur_h)
+                pad_is_zero = True
             R, C_, _ = cur.shape
+            # 3 sublane (dx) shifts hoisted out of the tap loop — sublane
+            # slices are relayouts, row (dy) slices are free (untiled dim).
+            xs_dx = [
+                cur[:, dx : C_ - 2 + dx, :].astype(jnp.bfloat16)
+                for dx in range(3)
+            ]
             acc = None
             for dy in range(3):
                 for dx in range(3):
                     part = jax.lax.dot_general(
-                        cur[dy : R - 2 + dy, dx : C_ - 2 + dx, :].astype(jnp.bfloat16),
+                        xs_dx[dx][dy : R - 2 + dy],
                         w[dy, dx].astype(jnp.bfloat16),
                         (((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -168,6 +184,9 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
             cur = acc.astype(wdt)  # f32 accumulation across all 9 taps
             if b is not None:
                 cur = cur + b[0].astype(wdt)
+            # outside-image positions now hold convolutions that mixed in
+            # real border pixels — never zero after a spatial stage.
+            pad_is_zero = False
             cur_h -= 1
         elif kind == "dw":
             w = w_refs[wi][...]
@@ -176,23 +195,27 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
             if stage[2]:
                 b = w_refs[wi][...]
                 wi += 1
-            cur = mask_outside(cur, cur_h)
+            if not pad_is_zero:
+                cur = mask_outside(cur, cur_h)
+                pad_is_zero = True
             R, C_, _ = cur.shape
             wk = w[...].astype(wdt)
+            # hoist the 3 sublane (dx) shifts; row (dy) slices are free
+            xs_dx = [cur[:, dx : C_ - 2 + dx, :] for dx in range(3)]
             acc = None
             for dy in range(3):
                 for dx in range(3):
-                    part = (
-                        cur[dy : R - 2 + dy, dx : C_ - 2 + dx, :]
-                        * wk[dy, dx][None, None, :]
-                    )
+                    part = xs_dx[dx][dy : R - 2 + dy] * wk[dy, dx][None, None, :]
                     acc = part if acc is None else acc + part
             cur = acc
             if b is not None:
                 cur = cur + b[0].astype(wdt)
+            pad_is_zero = False  # see dense note: border mixing, not bias
             cur_h -= 1
         elif kind == "act":
             cur = _act(stage[1], cur)
+            if stage[1] == "sigmoid":
+                pad_is_zero = False
         elif kind == "glu":
             half = cur.shape[-1] // 2
             cur = _act(stage[1], cur[..., :half]) * cur[..., half:]

@@ -880,11 +880,21 @@ def ss2d_scan_fused_diff(x_tokens, wx, dtw, bias, A, dsk, chunk=256, sub=8,
 
 def _fused_diff_fwd(x_tokens, wx, dtw, bias, A, dsk, chunk, sub, interpret,
                     out_dtype):
+    from jax.ad_checkpoint import checkpoint_name
+
     y, carries = ss2d_scan_fused(
         x_tokens, wx, dtw, bias, A, dsk, chunk=chunk, sub=sub,
         interpret=interpret, return_carries=True, out_dtype=out_dtype,
     )
-    return y, (x_tokens, wx, dtw, bias, A, dsk, carries)
+    # Name the kernel outputs and residuals so a checkpoint policy
+    # (save_only_these_names("ss2d_scan"), models/wavemamba._maybe_remat)
+    # can SAVE them across the block remat: without this the block
+    # recompute re-runs the scan forward a second time in the backward
+    # pass (~116 ms/step at batch-8 512^2 — measured, BENCH_NOTES r3).
+    y = checkpoint_name(y, "ss2d_scan")
+    carries = checkpoint_name(carries, "ss2d_scan")
+    x_saved = checkpoint_name(x_tokens, "ss2d_scan")
+    return y, (x_saved, wx, dtw, bias, A, dsk, carries)
 
 
 def _fused_diff_bwd(chunk, sub, interpret, out_dtype, res, dy):
