@@ -50,14 +50,41 @@ def create_train_val_dataloader(opt, mesh, logger):
             # number (iters/epoch, logging).
             global_batch = dataset_opt.get("batch_size_per_gpu", 1) * n_dev
             local_batch = dataset_opt.get("batch_size_per_gpu", 1) * jax.local_device_count()
-            train_loader = ThreadedLoader(
-                train_set,
-                batch_size=local_batch,
-                sampler=sampler,
-                num_workers=dataset_opt.get("num_worker_per_gpu", 4),
-                drop_last=True,
-                seed=opt.get("manual_seed"),
-            )
+            train_loader = None
+            if dataset_opt.get("cache_on_device"):
+                # Device-resident dataset: batches are sampled/cropped/
+                # augmented in HBM (see data/device_cache.py). Falls back to
+                # the threaded host loader when the dataset doesn't qualify
+                # (multi-process, non-uniform shapes, over HBM budget, ...).
+                from wavemamba_tpu.data.device_cache import DeviceCachedLoader
+
+                try:
+                    train_loader = DeviceCachedLoader(
+                        train_set,
+                        batch_size=global_batch,
+                        sampler=sampler,
+                        seed=opt.get("manual_seed"),
+                        mesh=mesh,
+                        budget_gb=dataset_opt.get("device_cache_budget_gb", 8.0),
+                    )
+                    logger.info(
+                        "cache_on_device: dataset staged in HBM "
+                        f"({(train_loader.lq_all.nbytes + train_loader.gt_all.nbytes)/2**20:.0f} MiB); "
+                        "per-step host work is index RNG only"
+                    )
+                except ValueError as e:
+                    logger.warning(
+                        f"cache_on_device unavailable ({e}); using host loader"
+                    )
+            if train_loader is None:
+                train_loader = ThreadedLoader(
+                    train_set,
+                    batch_size=local_batch,
+                    sampler=sampler,
+                    num_workers=dataset_opt.get("num_worker_per_gpu", 4),
+                    drop_last=True,
+                    seed=opt.get("manual_seed"),
+                )
             iters_per_epoch = len(train_loader)
             if iters_per_epoch == 0:
                 raise ValueError(
@@ -127,9 +154,15 @@ def train_pipeline(root_path, args=None):
     sharding = batch_sharding(mesh)
     logger.info(f"Start training from iter {current_iter}")
     start = time.time()
+    # Device-cached loaders already yield sharded device batches; wrapping
+    # them in the host staging thread would be a no-op queue hop.
+    if getattr(train_loader, "yields_device_batches", False):
+        prefetch = iter
+    else:
+        prefetch = lambda ldr: device_prefetch(ldr, sharding)  # noqa: E731
     while current_iter < total_iters:
         train_loader.set_epoch(epoch)
-        for batch in device_prefetch(train_loader, sharding):
+        for batch in prefetch(train_loader):
             data_timer.record()
             if current_iter >= total_iters:
                 break
