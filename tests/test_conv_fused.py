@@ -95,6 +95,31 @@ def test_dw_act_and_dense():
     )
 
 
+def test_band_vs_tile_kernels_agree():
+    """The row-band kernel (default) and the 2-D tile kernel implement the
+    same chain semantics — exercised on the halo-2 PAConv chain whose
+    border masking is the trickiest case."""
+    from wavemamba_tpu.models.wavemamba import init_paconv, paconv_apply
+
+    p = init_paconv(jax.random.PRNGKey(2), 16)
+    x = _x((1, 21, 37, 16), seed=3)
+    ref = np.asarray(paconv_apply(p, x))
+    band = np.asarray(cf.paconv_chain(p, x, band_h=8))
+    tile = np.asarray(cf.paconv_chain(p, x, band_h=None))
+    np.testing.assert_allclose(band, ref, **TOL)
+    np.testing.assert_allclose(tile, ref, **TOL)
+    np.testing.assert_allclose(band, tile, rtol=1e-5, atol=1e-5)
+
+
+def test_tile_path_still_available():
+    c = 8
+    pdw = init_conv2d(jax.random.PRNGKey(5), 3, 3, c, c, groups=c)
+    x = _x((1, 10, 30, c), seed=4)
+    ref = silu(conv2d(pdw, x, padding=1, groups=c))
+    got = cf.dw_act(pdw, x, "silu", band_h=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+
+
 def test_model_conv_impl_fused_matches_xla():
     """Full WaveMamba forward: conv_impl='fused' vs the XLA bf16 path."""
     from wavemamba_tpu.models.wavemamba import (
