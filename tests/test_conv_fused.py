@@ -95,6 +95,40 @@ def test_dw_act_and_dense():
     )
 
 
+def test_lfss_ffn_block_fused():
+    """The fully-fused LFSS second half-block (LN + ffn + scaled residual
+    in one kernel) matches the composed ops."""
+    from wavemamba_tpu.models.wavemamba import ffn_apply, init_ffn
+    from wavemamba_tpu.ops.nn import init_layer_norm, layer_norm
+
+    c = 8
+    p_ln = init_layer_norm(c)
+    p_ln = {"g": p_ln["g"] + 0.3, "b": p_ln["b"] - 0.1}  # non-trivial LN
+    p_ffn = init_ffn(jax.random.PRNGKey(1), c)
+    skip = jnp.asarray(np.random.RandomState(7).rand(c), jnp.float32)
+    x = _x((1, 21, 37, c), seed=9)
+    ref = x * skip + ffn_apply(p_ffn, layer_norm(p_ln, x, eps=1e-5))
+    got = cf.lfss_ffn_block(p_ln, p_ffn, skip, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+
+
+def test_ln_folding_in_qkv_chain():
+    from wavemamba_tpu.ops.nn import init_layer_norm, layer_norm
+
+    c = 8
+    p = {
+        "qkv": init_conv2d(jax.random.PRNGKey(0), 1, 1, c, 3 * c),
+        "qkv_dwconv": init_conv2d(jax.random.PRNGKey(1), 3, 3, 3 * c, 3 * c,
+                                  groups=3 * c),
+    }
+    p_ln = init_layer_norm(c)
+    x = _x((1, 20, 24, c), seed=2)
+    ref = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], layer_norm(p_ln, x, eps=1e-6)),
+                 padding=1, groups=3 * c)
+    got = cf.qkv_chain(p, x, ln=(p_ln["g"], p_ln["b"], 1e-6))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOL)
+
+
 def test_band_vs_tile_kernels_agree():
     """The row-band kernel (default) and the 2-D tile kernel implement the
     same chain semantics — exercised on the halo-2 PAConv chain whose

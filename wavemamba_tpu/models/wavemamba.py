@@ -353,9 +353,13 @@ def lfss_block_apply(p, cfg: WaveMambaConfig, x):
     back per block; in NHWC that round-trip is a no-op, so we keep 4-D.)"""
     y = layer_norm(p["ln_1"], x, eps=1e-6)
     x = x * p["skip_scale"].astype(x.dtype) + ss2d_apply(p["self_attention"], cfg, y)
+    if cfg.conv_impl == "fused":
+        # whole second half-block (LN + ffn + scaled residual) in ONE kernel
+        from wavemamba_tpu.ops.conv_fused import lfss_ffn_block
+
+        return lfss_ffn_block(p["ln_2"], p["conv_blk"], p["skip_scale2"], x)
     x = x * p["skip_scale2"].astype(x.dtype) + ffn_apply(
         p["conv_blk"], layer_norm(p["ln_2"], x, eps=1e-5),
-        fuse=cfg.conv_impl == "fused",
     )
     return x
 
@@ -426,7 +430,7 @@ def init_cmt_attention(key, c, num_heads=1):
     }
 
 
-def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False):
+def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None):
     """Transposed (channel) attention with perception-matched queries
     (`wavemamba_arch.py:772-798`).
 
@@ -442,7 +446,7 @@ def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False):
     if fuse:
         from wavemamba_tpu.ops.conv_fused import qkv_chain
 
-        qkv = qkv_chain(p, x)
+        qkv = qkv_chain(p, x, ln=ln)  # ln folds the block's norm1 in
     else:
         qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x), padding=1, groups=3 * c)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
@@ -471,12 +475,12 @@ def init_feed_forward(key, c):
     }
 
 
-def feed_forward_apply(p, x, perc, fuse=False):
+def feed_forward_apply(p, x, perc, fuse=False, ln=None):
     c = x.shape[-1]
     if fuse:
         from wavemamba_tpu.ops.conv_fused import ff_in_chain, ff_out_chain
 
-        y = ff_in_chain(p["project_in"], x)
+        y = ff_in_chain(p["project_in"], x, ln=ln)
         y = matching_transformation_apply(p["matching_transformation"], y, perc, fuse=True)
         return ff_out_chain(p["project_out"], y)
     y = conv2d(p["project_in"][0], x)
@@ -496,11 +500,11 @@ def init_feed_forward_restormer(key, c, expand=1):
     }
 
 
-def feed_forward_restormer_apply(p, x, fuse=False):
+def feed_forward_restormer_apply(p, x, fuse=False, ln=None, residual=False):
     if fuse:
         from wavemamba_tpu.ops.conv_fused import restormer_chain
 
-        return restormer_chain(p, x)
+        return restormer_chain(p, x, ln=ln, residual=residual)
     y = conv2d(p["project_in"], x)
     dw = p["dwconv"]["w"].shape[-1]
     y = conv2d(p["dwconv"], y, padding=1, groups=dw)
@@ -526,12 +530,21 @@ def init_hfe_block(key, c, ffn_restormer=False):
 def hfe_block_apply(p, x, perc, ffn_restormer=False, fuse=False):
     """`wavemamba_arch.py:847-854`. LayerNorm2d == channel LN (eps 1e-6)."""
     percn = layer_norm(p["LayerNorm"], perc, eps=1e-6)
+    if fuse:
+        # the block LNs fold into the first chain of each half-block
+        ln1 = (p["norm1"]["g"], p["norm1"]["b"], 1e-6)
+        ln2 = (p["norm2"]["g"], p["norm2"]["b"], 1e-6)
+        x = x + cmt_attention_apply(p["attn"], x, percn, fuse=True, ln=ln1)
+        if ffn_restormer:
+            return feed_forward_restormer_apply(p["ffn"], x, fuse=True,
+                                                ln=ln2, residual=True)
+        return x + feed_forward_apply(p["ffn"], x, percn, fuse=True, ln=ln2)
     x = x + cmt_attention_apply(p["attn"], layer_norm(p["norm1"], x, eps=1e-6),
-                                percn, fuse=fuse)
+                                percn)
     if ffn_restormer:
-        x = x + feed_forward_restormer_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), fuse=fuse)
+        x = x + feed_forward_restormer_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6))
     else:
-        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), percn, fuse=fuse)
+        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), percn)
     return x
 
 

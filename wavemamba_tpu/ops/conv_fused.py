@@ -31,6 +31,9 @@ Chain DSL (static per call): a tuple of stages
     ("mulsig0", w (Cin, Co), b | None)       y *= sigmoid(x_in @ w + b)
                                              (PAConv's gating branch on the
                                              chain INPUT, `:640-657`)
+    ("ln", g, b, eps)                        channel LayerNorm, f32 stats
+    ("res0", scale | None)                   y += [scale *] chain input
+                                             (fuses block residuals in)
 
 Inference-path only (no custom VJP); training keeps the XLA conv lowering.
 """
@@ -233,10 +236,35 @@ def _chain_kernel(*refs, stages, halo, th, tw, n_weights, H, W):
             if b is not None:
                 g = g + b[0].astype(wdt)
             cur = cur * _act("sigmoid", g)
+        elif kind == "ln":
+            g = w_refs[wi][...]
+            wi += 1
+            bb = w_refs[wi][...]
+            wi += 1
+            cur = _ln(cur, g, bb, stage[1], wdt)
+            pad_is_zero = False  # the LN bias lands on the canvas
+        elif kind == "res0":
+            off = h - cur_h
+            R0, C0, _ = x0.shape
+            x0c = x0[off : R0 - off, off : C0 - off, :]
+            if stage[1]:
+                s = w_refs[wi][...]
+                wi += 1
+                x0c = x0c * s[0].astype(wdt)
+            cur = cur + x0c
         else:
             raise ValueError(kind)
 
     out_ref[0] = cur.astype(out_ref.dtype)
+
+
+def _ln(cur, g, b, eps, wdt):
+    """LayerNorm over channels, f32 statistics (ops/nn.py:84-91)."""
+    xf = cur.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g[0].astype(jnp.float32) + b[0].astype(jnp.float32)).astype(wdt)
 
 
 def _normalize_stages(stages):
@@ -247,6 +275,16 @@ def _normalize_stages(stages):
         kind = stage[0]
         if kind in ("act", "glu"):
             spec.append((kind, stage[1]))
+            continue
+        if kind == "ln":
+            weights.append(jnp.asarray(stage[1]).reshape(1, -1))
+            weights.append(jnp.asarray(stage[2]).reshape(1, -1))
+            spec.append(("ln", float(stage[3])))
+            continue
+        if kind == "res0":
+            if stage[1] is not None:
+                weights.append(jnp.asarray(stage[1]).reshape(1, -1))
+            spec.append(("res0", stage[1] is not None))
             continue
         w, b = stage[1], stage[2]
         weights.append(jnp.asarray(w))
@@ -288,6 +326,10 @@ def _fused_chain_jit(x, weights, spec, tile_h, tile_w, interpret):
             wi += 1 + (1 if s[2] else 0)
         elif s[0] == "mulsig0":
             wi += 1 + (1 if s[2] else 0)
+        elif s[0] == "ln":
+            wi += 2
+        elif s[0] == "res0":
+            wi += 1 if s[1] else 0
         elif s[0] == "glu":
             cout = cout // 2
 
@@ -463,6 +505,22 @@ def _band_kernel(top_ref, mid_ref, bot_ref, *rest, stages, halo, tb,
             if b is not None:
                 g = g + b[0].astype(wdt)
             cur = cur * _act("sigmoid", g)
+        elif kind == "ln":
+            g = w_refs[wi][...]
+            wi += 1
+            bb = w_refs[wi][...]
+            wi += 1
+            cur = _ln(cur, g, bb, stage[1], wdt)
+            pad_is_zero = False  # the LN bias lands on the canvas
+        elif kind == "res0":
+            off = h - cur_h
+            R0 = x0.shape[0]
+            x0c = x0[off : R0 - off]
+            if stage[1]:
+                s = w_refs[wi][...]
+                wi += 1
+                x0c = x0c * s[0].astype(wdt)
+            cur = cur + x0c
         else:
             raise ValueError(kind)
 
@@ -493,6 +551,10 @@ def _fused_band_jit(x, weights, spec, band_h, interpret):
             wi += 1 + (1 if s[2] else 0)
         elif s[0] in ("dw", "mulsig0"):
             wi += 1 + (1 if s[2] else 0)
+        elif s[0] == "ln":
+            wi += 2
+        elif s[0] == "res0":
+            wi += 1 if s[1] else 0
         elif s[0] == "glu":
             cout = cout // 2
 
@@ -573,11 +635,34 @@ def ffn_chain(p, x, tile_h=8, tile_w=128, band_h=16):
     ), tile_h, tile_w, band_h)
 
 
-def qkv_chain(p, x, tile_h=8, tile_w=128, band_h=16):
-    """CMT qkv: 1x1 (C->3C) -> dw3x3 (`wavemamba_arch.py:772-776`)."""
+def lfss_ffn_block(p_ln, p_ffn, skip_scale, x, band_h=16):
+    """LFSS second half-block FULLY fused — x*skip + ffn(LN(x)) in one
+    kernel (`wavemamba_arch.py:520-527`): LN, both 1x1s, the dw3x3, the
+    GELU gate and the scaled residual all between one HBM read and one
+    write."""
+    w1, b1 = _wb(p_ffn["conv1"])
+    wdw, bdw = _wb(p_ffn["conv2"])
+    w3, b3 = _wb(p_ffn["conv3"])
+    return _run(x, (
+        ("ln", p_ln["g"], p_ln["b"], 1e-5),
+        ("pw", w1[0, 0], b1),
+        ("dw", wdw[:, :, 0, :], bdw),
+        ("glu", "gelu"),
+        ("pw", w3[0, 0], b3),
+        ("res0", skip_scale),
+    ), 8, 128, band_h)
+
+
+def _ln_prefix(ln):
+    return () if ln is None else (("ln", ln[0], ln[1], ln[2]),)
+
+
+def qkv_chain(p, x, tile_h=8, tile_w=128, band_h=16, ln=None):
+    """CMT qkv: [LN ->] 1x1 (C->3C) -> dw3x3 (`wavemamba_arch.py:772-776`);
+    ln=(g, b, eps) fuses the preceding LayerNorm into the same kernel."""
     wq, bq = _wb(p["qkv"])
     wd, bd = _wb(p["qkv_dwconv"])
-    return _run(x, (
+    return _run(x, _ln_prefix(ln) + (
         ("pw", wq[0, 0], bq),
         ("dw", wd[:, :, 0, :], bd),
     ), tile_h, tile_w, band_h)
@@ -595,11 +680,12 @@ def paconv_chain(p, x, tile_h=8, tile_w=128, band_h=16):
     ), tile_h, tile_w, band_h)
 
 
-def ff_in_chain(p, x, tile_h=8, tile_w=128, band_h=16):
-    """HFE FeedForward project_in: 1x1 -> dw3x3 (`wavemamba_arch.py:726-733`)."""
+def ff_in_chain(p, x, tile_h=8, tile_w=128, band_h=16, ln=None):
+    """HFE FeedForward project_in: [LN ->] 1x1 -> dw3x3
+    (`wavemamba_arch.py:726-733`)."""
     w1, b1 = _wb(p[0])
     wd, bd = _wb(p[1])
-    return _run(x, (
+    return _run(x, _ln_prefix(ln) + (
         ("pw", w1[0, 0], b1),
         ("dw", wd[:, :, 0, :], bd),
     ), tile_h, tile_w, band_h)
@@ -616,17 +702,23 @@ def ff_out_chain(p, x, tile_h=8, tile_w=128, band_h=16):
     ), tile_h, tile_w, band_h)
 
 
-def restormer_chain(p, x, tile_h=8, tile_w=128, band_h=16):
-    """FeedForward_Restormer: 1x1 -> dw3x3 -> GLU(gelu) -> 1x1 (`:801-819`)."""
+def restormer_chain(p, x, tile_h=8, tile_w=128, band_h=16, ln=None,
+                    residual=False):
+    """FeedForward_Restormer: [LN ->] 1x1 -> dw3x3 -> GLU(gelu) -> 1x1
+    [-> +x] (`:801-819`); residual=True adds the chain input back (the HFE
+    block residual) inside the kernel."""
     w1, b1 = _wb(p["project_in"])
     wd, bd = _wb(p["dwconv"])
     w2, b2 = _wb(p["project_out"])
-    return _run(x, (
+    stages = _ln_prefix(ln) + (
         ("pw", w1[0, 0], b1),
         ("dw", wd[:, :, 0, :], bd),
         ("glu", "gelu"),
         ("pw", w2[0, 0], b2),
-    ), tile_h, tile_w, band_h)
+    )
+    if residual:
+        stages = stages + (("res0", None),)
+    return _run(x, stages, tile_h, tile_w, band_h)
 
 
 def dw_act(p, x, act="silu", tile_h=8, tile_w=128, band_h=16):
