@@ -37,15 +37,23 @@ def main():
     else:  # 'parity': full fp32, bit-parity with the reference
         cfg = WaveMambaConfig()
     params = init_wavemamba(jax.random.PRNGKey(0), cfg)
-    fwd = jax.jit(lambda p, x: wavemamba_apply(p, cfg, x))
+    # The fence-sum lives INSIDE the jitted program: on the tunneled axon
+    # platform block_until_ready() returns before execution finishes, so a
+    # host transfer of a device reduction is the only reliable fence. Fusing
+    # the reduction into the forward saves one dispatch round-trip per
+    # measurement (the scalar transfer is the fence).
+    def _fwd(p, x):
+        y = wavemamba_apply(p, cfg, x)
+        # Tiny-slice reduction: transferring any output awaits the whole
+        # executable, so this fences full execution at negligible cost.
+        return y, jnp.sum(y[..., :1, :1, :])
+
+    fwd = jax.jit(_fwd)
 
     x = jnp.asarray(np.random.RandomState(0).rand(1, 1080, 1920, 3), jnp.float32)
 
     def run_sync():
-        # NOTE: on the tunneled axon platform block_until_ready() returns
-        # before execution finishes; a host transfer of a reduction is the
-        # only reliable fence. The jnp.sum adds ~negligible device time.
-        return float(jnp.sum(fwd(params, x)))
+        return float(fwd(params, x)[1])
 
     run_sync()  # compile
     run_sync()  # warmup

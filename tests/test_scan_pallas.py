@@ -218,3 +218,21 @@ def test_fused_vjp_trains_tiny_model():
     for a, b in zip(flat_f, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fused_bf16_round_then_permute_identity():
+    """bf16 y streaming uses round-then-permute (single-pass bf16 MXU on
+    hardware); a permutation is pure data movement, so the bf16-out y must
+    equal the f32-out y rounded elementwise — including the un-reversed
+    (permuted) direction lane and bf16 token inputs."""
+    from wavemamba_tpu.ops.scan_pallas import ss2d_scan_fused
+
+    x, wx, dtw, bias, A, dsk = _fused_pair_inputs(seed=7)
+    x = x.astype(jnp.bfloat16)  # exercise the bf16 input-permute path too
+    y32 = ss2d_scan_fused(x, wx, dtw, bias, A, dsk, chunk=64, sub=8,
+                          interpret=True)
+    y16 = ss2d_scan_fused(x, wx, dtw, bias, A, dsk, chunk=64, sub=8,
+                          interpret=True, out_dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(y32.astype(jnp.bfloat16)), np.asarray(y16))

@@ -438,9 +438,18 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     f32 = jnp.float32
 
     def permute(P, v):
-        # Exact reversal: Mosaic's default f32 dot is single-pass bf16
-        # (measured 2e-3 error); HIGHEST multi-pass recombines x exactly
-        # when every product is 1.0 * x (verified 0.0 error on v5e).
+        # Exact reversal on the MXU. A permutation only MOVES values (every
+        # output element is 1.0 * one input), so it is exact in any dtype
+        # that holds the values: bf16 operands take the DEFAULT single-pass
+        # bf16 MXU path (~3x cheaper — the r3 anatomy sweep measured the
+        # HIGHEST permutes at ~12% of kernel time); f32 operands need
+        # HIGHEST, whose multi-pass recombines x exactly (verified 0.0
+        # error on v5e; DEFAULT on f32 would round through bf16, 2e-3 err).
+        if v.dtype == jnp.bfloat16:
+            return jax.lax.dot_general(
+                P.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
         return jax.lax.dot_general(
             P, v, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -449,8 +458,9 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
 
     xf = xf_ref[0].astype(f32)  # (T, D) chunk c, token order
     P = perm_ref[...]  # (T, T) antidiagonal
-    # chunk nc-1-c with tokens reversed -> this half scans forward too.
-    xr = permute(P, xr_ref[0].astype(f32))
+    # chunk nc-1-c with tokens reversed -> this half scans forward too
+    # (permute BEFORE the f32 widen: bf16 inputs ride the fast MXU path).
+    xr = permute(P, xr_ref[0]).astype(f32)
     T, D = xf.shape
     N = d_state
     R = dt_rank
@@ -527,7 +537,11 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
 
     y0_ref[0] = y[:, :D].astype(y0_ref.dtype)
     # reverse half's y is in reversed token order — un-reverse on the MXU.
-    y1_ref[0] = permute(P, y[:, D:]).astype(y1_ref.dtype)
+    # For bf16 streaming, round FIRST then permute: identical result
+    # (rounding each element then moving it == moving then rounding), and
+    # the permute runs single-pass bf16.
+    y1 = y[:, D:].astype(y1_ref.dtype) if y1_ref.dtype == jnp.bfloat16 else y[:, D:]
+    y1_ref[0] = permute(P, y1).astype(y1_ref.dtype)
 
 
 @functools.partial(
@@ -669,7 +683,13 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
     P = perm_ref[...]  # (T, T) antidiagonal
 
     def permute(Pm, v):
-        # Exact reversal on the MXU (see the forward kernel's note).
+        # Exact reversal on the MXU (see the forward kernel's note: bf16
+        # operands ride the single-pass bf16 path exactly).
+        if v.dtype == jnp.bfloat16:
+            return jax.lax.dot_general(
+                Pm.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
         return jax.lax.dot_general(
             Pm, v, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -677,9 +697,9 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
         )
 
     xf = xf_ref[0].astype(f32)              # (T, D) processing order
-    xr = permute(P, xr_ref[0].astype(f32))  # (T, D) processing order
+    xr = permute(P, xr_ref[0]).astype(f32)  # (T, D) processing order
     dyf = dyf_ref[0, 0].astype(f32)
-    dyr = permute(P, dyr_ref[0, 0].astype(f32))
+    dyr = permute(P, dyr_ref[0, 0]).astype(f32)
     h_in = jnp.concatenate([hin_ref[0, 0, 0], hin_ref[0, 1, 0]], axis=1)  # (N, 2D)
     A2 = a2_ref[...]    # (N, 2D)
     dsk2 = dsk2_ref[...]  # (1, 2D)
@@ -752,7 +772,9 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
     dxr_f, dx_f = dx_dir(0, ddr[:, :D], dB_f, dC_f, du_scan[:, :D])
     dxr_r, dx_r = dx_dir(1, ddr[:, D:], dB_r, dC_r, du_scan[:, D:])
     dx0_ref[0] = dx_f.astype(dx0_ref.dtype)
-    dx1_ref[0] = permute(P, dx_r).astype(dx1_ref.dtype)
+    # round-then-permute == permute-then-round (pure data movement)
+    dx_r1 = dx_r.astype(dx1_ref.dtype) if dx1_ref.dtype == jnp.bfloat16 else dx_r
+    dx1_ref[0] = permute(P, dx_r1).astype(dx1_ref.dtype)
 
     # Per-batch weight accumulators (blocks revisit across the cb sweep).
     dwr_ref[0, 0] = dwr_ref[0, 0] + jnp.dot(xf.T, dxr_f, preferred_element_type=f32)
