@@ -112,6 +112,11 @@ class WaveMambaConfig:
         # streaming on-chip (54.7 vs 54.6 dB @512^2 — the post-scan
         # LayerNorm absorbs the rounding), ~5 ms faster @1080p (r3 bench).
         kw.setdefault("scan_dtype", "bfloat16")
+        # chunk 512 fits the fused kernel's VMEM again since the bf16 MXU
+        # permutes (r3) and measures faster than 256 at both kernel
+        # (19.28 vs 19.89 ms @L=518k pairs) and model level. Training keeps
+        # its own chunk via fast_train() (backward kernel budget).
+        kw.setdefault("scan_chunk", 512)
         # conv_impl='fused' is available but NOT default: the chain kernels
         # measured ~1.5-2 ms/call SLOWER than XLA's conv path at 540p
         # (BENCH_NOTES r3) — flip once the kernel beats XLA.
