@@ -89,6 +89,19 @@ def main():
     print(f"fused pair kernel: max err {err:.2e}")
     assert err < 5e-4, err
 
+    # bf16 y streaming (fast() default): round-then-permute must equal the
+    # f32 y rounded elementwise — a permutation only moves values, so the
+    # single-pass bf16 MXU path is exact. Also rides the bf16 input-permute.
+    y16 = ss2d_scan_fused(x.astype(jnp.bfloat16), wx, dtw, b2, A2, ds2,
+                          chunk=256, sub=8, out_dtype=jnp.bfloat16)
+    y32 = ss2d_scan_fused(x.astype(jnp.bfloat16), wx, dtw, b2, A2, ds2,
+                          chunk=256, sub=8)
+    derr = float(jnp.max(jnp.abs(
+        y32.astype(jnp.bfloat16).astype(jnp.float32) -
+        y16.astype(jnp.float32))))
+    print(f"fused pair bf16-y round-then-permute identity: max|d| {derr:.1e}")
+    assert derr == 0.0, derr
+
     dy = jnp.asarray(rs.rand(1, 2, 4096, D), jnp.float32)
 
     def lp(*a):
