@@ -1,0 +1,55 @@
+"""Sweep the 1x1-conv lowering policy per region on the real chip.
+
+The r3 device profile attributes ~38 ms @1080p to layout relayout copies
+(conv-layout <-> token-matmul-layout ping-pong). The matmul lowering of 1x1
+convs is 13x faster per op, but 1x1s adjacent to depthwise convs force a
+round trip out of XLA's conv tiling; `WaveMambaConfig.conv1x1_as_conv`
+re-expresses those sites as convs so the chain stays in one layout.
+
+Usage (tunnel rules: background, no timeout):
+    python scripts/tpu_1x1_sweep.py > /tmp/sweep1x1.log 2>&1 &
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavemamba_tpu.models.wavemamba import (
+    WaveMambaConfig,
+    init_wavemamba,
+    wavemamba_apply,
+)
+
+VARIANTS = [(), ("ffn",), ("hfe",), ("ffn", "hfe")]
+
+
+def bench_variant(sites, iters=5):
+    cfg = WaveMambaConfig.fast(conv1x1_as_conv=sites)
+    params = init_wavemamba(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def fwd(p, x):
+        y = wavemamba_apply(p, cfg, x)
+        return jnp.sum(y[..., :1, :1, :])  # in-jit fence
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 1080, 1920, 3), jnp.float32)
+    float(fwd(params, x))  # compile
+    float(fwd(params, x))  # warmup
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fwd(params, x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    for sites in VARIANTS:
+        t = bench_variant(sites)
+        print(f"conv1x1_as_conv={sites!r:18} 1080p median {t*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,25 @@ def test_conv1x1_dot_lowering_matches():
     p3 = init_conv2d(jax.random.PRNGKey(3), 3, 3, 16, 16, groups=16)
     y = conv2d(p3, x.astype(jnp.bfloat16), padding=1, groups=16)
     assert y.shape == x.shape
+
+
+def test_conv1x1_as_conv_region_policy_matches():
+    """`WaveMambaConfig.conv1x1_as_conv` re-expresses a region's 1x1 convs in
+    conv layout (layout experiment, scripts/tpu_1x1_sweep.py) — the model
+    output must be identical to the matmul lowering."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.models.wavemamba import (
+        WaveMambaConfig,
+        init_wavemamba,
+        wavemamba_apply,
+    )
+
+    cfg0 = WaveMambaConfig.fast_xla()
+    cfg1 = WaveMambaConfig.fast_xla(conv1x1_as_conv=("ffn", "hfe"))
+    p = init_wavemamba(jax.random.PRNGKey(0), cfg0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    y0 = wavemamba_apply(p, cfg0, x)
+    y1 = wavemamba_apply(p, cfg1, x)
+    assert float(jnp.max(jnp.abs(y0 - y1))) < 2e-2

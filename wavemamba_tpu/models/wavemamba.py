@@ -87,6 +87,12 @@ class WaveMambaConfig:
     # dispatch. Inference-only (no custom VJP); 'xla' is the differentiable
     # and bit-parity lowering.
     conv_impl: str = "xla"
+    # Region tags whose 1x1 convs OPT OUT of the token-matmul lowering and
+    # stay in XLA's conv layout ('ffn' = LFSS ffn chain, 'hfe' = CMT/FF/
+    # PAConv chains). The matmul lowering is 13x faster per op, but a 1x1
+    # between two depthwise convs drags token<->conv relayout copies; this
+    # knob lets the sweep decide per region (bench scripts/tpu_1x1_sweep.py).
+    conv1x1_as_conv: Sequence[str] = ()
 
     @classmethod
     def fast(cls, **kw):
@@ -324,16 +330,16 @@ def init_ffn(key, c, expand=2):
     }
 
 
-def ffn_apply(p, x, fuse=False):
+def ffn_apply(p, x, fuse=False, as_conv_1x1=False):
     if fuse:
         from wavemamba_tpu.ops.conv_fused import ffn_chain
 
         return ffn_chain(p, x)
     dw = p["conv2"]["w"].shape[-1]
-    y = conv2d(p["conv1"], x)
+    y = conv2d(p["conv1"], x, as_conv=as_conv_1x1)
     y = conv2d(p["conv2"], y, padding=1, groups=dw)
     y1, y2 = y[..., : dw // 2], y[..., dw // 2 :]
-    return conv2d(p["conv3"], gelu(y1) * y2)
+    return conv2d(p["conv3"], gelu(y1) * y2, as_conv=as_conv_1x1)
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +371,7 @@ def lfss_block_apply(p, cfg: WaveMambaConfig, x):
         return lfss_ffn_block(p["ln_2"], p["conv_blk"], p["skip_scale2"], x)
     x = x * p["skip_scale2"].astype(x.dtype) + ffn_apply(
         p["conv_blk"], layer_norm(p["ln_2"], x, eps=1e-5),
+        as_conv_1x1="ffn" in cfg.conv1x1_as_conv,
     )
     return x
 
@@ -406,12 +413,12 @@ def init_paconv(key, nf):
     }
 
 
-def paconv_apply(p, x, fuse=False):
+def paconv_apply(p, x, fuse=False, as_conv_1x1=False):
     if fuse:
         from wavemamba_tpu.ops.conv_fused import paconv_chain
 
         return paconv_chain(p, x)
-    y = jax.nn.sigmoid(conv2d(p["k2"], x))
+    y = jax.nn.sigmoid(conv2d(p["k2"], x, as_conv=as_conv_1x1))
     return conv2d(p["k4"], conv2d(p["k3"], x, padding=1) * y, padding=1)
 
 
@@ -419,9 +426,10 @@ def init_matching_transformation(key, c):
     return {"paconv": init_paconv(key, 2 * c)}
 
 
-def matching_transformation_apply(p, x, perc, fuse=False):
+def matching_transformation_apply(p, x, perc, fuse=False, as_conv_1x1=False):
     sel = matching(x, perc)
-    return paconv_apply(p["paconv"], jnp.concatenate([x, sel], axis=-1), fuse=fuse)
+    return paconv_apply(p["paconv"], jnp.concatenate([x, sel], axis=-1),
+                        fuse=fuse, as_conv_1x1=as_conv_1x1)
 
 
 def init_cmt_attention(key, c, num_heads=1):
@@ -435,7 +443,8 @@ def init_cmt_attention(key, c, num_heads=1):
     }
 
 
-def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None):
+def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None,
+                        as_conv_1x1=False):
     """Transposed (channel) attention with perception-matched queries
     (`wavemamba_arch.py:772-798`).
 
@@ -453,9 +462,11 @@ def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None):
 
         qkv = qkv_chain(p, x, ln=ln)  # ln folds the block's norm1 in
     else:
-        qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x), padding=1, groups=3 * c)
+        qkv = conv2d(p["qkv_dwconv"], conv2d(p["qkv"], x, as_conv=as_conv_1x1),
+                     padding=1, groups=3 * c)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
-    q = matching_transformation_apply(p["matching_transformation"], q, perc, fuse=fuse)
+    q = matching_transformation_apply(p["matching_transformation"], q, perc,
+                                      fuse=fuse, as_conv_1x1=as_conv_1x1)
 
     def heads(t):  # (B,H,W,C) -> (B, L, heads, C/heads) — a free reshape
         return t.reshape(b, h * w, num_heads, ch)
@@ -468,6 +479,8 @@ def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None):
     attn = jnp.einsum("blhc,blhd->bhcd", qh, kh, precision=dot_precision(qh)) * temp
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhcd,blhd->blhc", attn, vh, precision=dot_precision(vh))
+    # project_out's input comes from the token-layout attention einsum, so
+    # it stays a matmul regardless of the 1x1 layout policy.
     return conv2d(p["project_out"], out.reshape(b, h, w, c))
 
 
@@ -480,7 +493,7 @@ def init_feed_forward(key, c):
     }
 
 
-def feed_forward_apply(p, x, perc, fuse=False, ln=None):
+def feed_forward_apply(p, x, perc, fuse=False, ln=None, as_conv_1x1=False):
     c = x.shape[-1]
     if fuse:
         from wavemamba_tpu.ops.conv_fused import ff_in_chain, ff_out_chain
@@ -488,11 +501,12 @@ def feed_forward_apply(p, x, perc, fuse=False, ln=None):
         y = ff_in_chain(p["project_in"], x, ln=ln)
         y = matching_transformation_apply(p["matching_transformation"], y, perc, fuse=True)
         return ff_out_chain(p["project_out"], y)
-    y = conv2d(p["project_in"][0], x)
+    y = conv2d(p["project_in"][0], x, as_conv=as_conv_1x1)
     y = conv2d(p["project_in"][1], y, padding=1, groups=c)
-    y = matching_transformation_apply(p["matching_transformation"], y, perc)
+    y = matching_transformation_apply(p["matching_transformation"], y, perc,
+                                      as_conv_1x1=as_conv_1x1)
     y = conv2d(p["project_out"][0], y, padding=1, groups=c)
-    return conv2d(p["project_out"][1], gelu(y))
+    return conv2d(p["project_out"][1], gelu(y), as_conv=as_conv_1x1)
 
 
 def init_feed_forward_restormer(key, c, expand=1):
@@ -532,7 +546,8 @@ def init_hfe_block(key, c, ffn_restormer=False):
     return p
 
 
-def hfe_block_apply(p, x, perc, ffn_restormer=False, fuse=False):
+def hfe_block_apply(p, x, perc, ffn_restormer=False, fuse=False,
+                    as_conv_1x1=False):
     """`wavemamba_arch.py:847-854`. LayerNorm2d == channel LN (eps 1e-6)."""
     percn = layer_norm(p["LayerNorm"], perc, eps=1e-6)
     if fuse:
@@ -545,11 +560,12 @@ def hfe_block_apply(p, x, perc, ffn_restormer=False, fuse=False):
                                                 ln=ln2, residual=True)
         return x + feed_forward_apply(p["ffn"], x, percn, fuse=True, ln=ln2)
     x = x + cmt_attention_apply(p["attn"], layer_norm(p["norm1"], x, eps=1e-6),
-                                percn)
+                                percn, as_conv_1x1=as_conv_1x1)
     if ffn_restormer:
         x = x + feed_forward_restormer_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6))
     else:
-        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6), percn)
+        x = x + feed_forward_apply(p["ffn"], layer_norm(p["norm2"], x, eps=1e-6),
+                                   percn, as_conv_1x1=as_conv_1x1)
     return x
 
 
@@ -626,7 +642,8 @@ def down_frg_apply(p, cfg: WaveMambaConfig, x, x_d):
     lfss = _maybe_remat(lambda bp, t: lfss_block_apply(bp, cfg, t), cfg)
     hfe = _maybe_remat(
         lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer,
-                                          fuse=cfg.conv_impl == "fused"), cfg
+                                          fuse=cfg.conv_impl == "fused",
+                                          as_conv_1x1="hfe" in cfg.conv1x1_as_conv), cfg
     )
     for blk in p["l_blk"]:
         ll = lfss(blk, ll)
@@ -650,7 +667,8 @@ def up_frg_apply(p, cfg: WaveMambaConfig, x_l, x_h):
     lfss = _maybe_remat(lambda bp, t: lfss_block_apply(bp, cfg, t), cfg)
     hfe = _maybe_remat(
         lambda bp, t, pc: hfe_block_apply(bp, t, pc, cfg.ffn_restormer,
-                                          fuse=cfg.conv_impl == "fused"), cfg
+                                          fuse=cfg.conv_impl == "fused",
+                                          as_conv_1x1="hfe" in cfg.conv1x1_as_conv), cfg
     )
     for blk in p["l_blk"]:
         x_l = lfss(blk, x_l)

@@ -39,16 +39,20 @@ def silu(x):
     return jax.nn.silu(x)
 
 
-def conv2d(params, x, stride=1, padding="SAME", groups=1):
+def conv2d(params, x, stride=1, padding="SAME", groups=1, as_conv=False):
     """NHWC conv. params['w']: (kh, kw, in/groups, out)."""
     w = params["w"]
     # 1x1/stride-1/ungrouped convs lower to a token matmul in reduced
     # precision: XLA's TPU conv path carries a fixed per-call spatial cost
     # (~0.7 ms at 540p regardless of channel width — measured 13x slower
     # than the equivalent dot). float32 keeps the conv lowering so the
-    # bit-parity path is untouched.
+    # bit-parity path is untouched. `as_conv=True` opts a call site out of
+    # the matmul lowering (same math): 1x1s sandwiched between depthwise
+    # convs can be cheaper in conv layout because XLA keeps the whole chain
+    # in its conv tiling instead of relaying token<->conv around each op.
     if (
-        w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and groups == 1
+        not as_conv
+        and w.shape[0] == 1 and w.shape[1] == 1 and stride == 1 and groups == 1
         and x.dtype != jnp.float32
         and (padding in ("SAME", "VALID") or padding == 0)
     ):
