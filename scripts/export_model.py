@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Build / serve AOT deployment artifacts (see wavemamba_tpu/deploy.py).
+
+Export a checkpoint to a self-contained ``.wmx`` archive::
+
+    python scripts/export_model.py export -w ckpt/WaveMamba.pth \
+        --shapes 1088x1920 768x1280 -o wavemamba_1080p.wmx --fast
+
+Serve a folder from the artifact alone (no model code is imported —
+deploy.py + jax are the full dependency)::
+
+    python scripts/export_model.py run -a wavemamba_1080p.wmx \
+        -i datasets/val/input -o results/served
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_shape(s):
+    h, _, w = s.partition("x")
+    return (int(h), int(w))
+
+
+def cmd_export(args):
+    from wavemamba_tpu.deploy import export_model
+    from wavemamba_tpu.models.wavemamba import WaveMambaConfig
+    from wavemamba_tpu.train.checkpoint import load_network
+
+    mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
+    cfg = mk(wf=args.wf, n_l_blocks=tuple(args.n_l_blocks),
+             n_h_blocks=tuple(args.n_h_blocks))
+    params = load_network(args.weight)
+    shapes = [_parse_shape(s) for s in args.shapes]
+    platforms = tuple(args.platforms)
+    manifest = export_model(
+        params, cfg, shapes, args.out, batch=args.batch, platforms=platforms,
+        allow_custom_calls=args.allow_custom_calls)
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out} ({size/1e6:.1f} MB): "
+          f"{len(shapes)} program(s) for {manifest['platforms']}, "
+          f"{manifest['param_bytes']/1e6:.1f} MB weights")
+
+
+def cmd_run(args):
+    from wavemamba_tpu.deploy import load_exported
+    from wavemamba_tpu.utils.img_util import batch2img, img2batch, imread, imwrite
+    from wavemamba_tpu.utils.misc import scandir
+
+    model = load_exported(args.artifact)
+    print(f"artifact: shapes {model.shapes}, platforms "
+          f"{model.manifest['platforms']}")
+    os.makedirs(args.output, exist_ok=True)
+    paths = ([args.input] if os.path.isfile(args.input)
+             else sorted(scandir(args.input, full_path=True)))
+    for path in paths:
+        img = imread(path)
+        t0 = time.time()
+        out = model(img2batch(img))
+        dt = time.time() - t0
+        name = os.path.basename(path)
+        imwrite(batch2img(out), os.path.join(args.output, name))
+        print(f"{name}: {dt:.3f}s", flush=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("export", help="serialize a checkpoint to .wmx")
+    p.add_argument("-w", "--weight", required=True, help=".pth or orbax dir")
+    p.add_argument("-o", "--out", required=True, help="output .wmx path")
+    p.add_argument("--shapes", nargs="+", required=True,
+                   help="static input shapes, e.g. 1088x1920 (pad-multiple "
+                        "128 like the reference)")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 TPU preset (scan falls back to the portable "
+                        "XLA lowering unless --allow_custom_calls)")
+    p.add_argument("--allow_custom_calls", action="store_true",
+                   help="keep Pallas kernels (TPU-only, jax-version-pinned)")
+    p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--wf", type=int, default=32)
+    p.add_argument("--n_l_blocks", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--n_h_blocks", type=int, nargs="+", default=[1, 1, 2])
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("run", help="enhance a folder from a .wmx artifact")
+    p.add_argument("-a", "--artifact", required=True)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="results/served")
+    p.set_defaults(fn=cmd_run)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""AOT deployment artifacts (wavemamba_tpu/deploy.py): a .wmx archive must
+round-trip through jax.export serialization bit-exactly, pad/crop like the
+reference's 128-padding contract, and serve a folder end-to-end through the
+CLI without importing the model source."""
+
+import importlib.util
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _export_cli():
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "export_model.py")
+    spec = importlib.util.spec_from_file_location("export_model", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main
+
+
+def _tiny(tmp_path):
+    import jax
+
+    from wavemamba_tpu.models.wavemamba import WaveMambaConfig, init_wavemamba
+
+    cfg = WaveMambaConfig(wf=8, n_l_blocks=(1, 1, 1), n_h_blocks=(1, 1, 1),
+                          scan_chunk=16)
+    params = init_wavemamba(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_export_roundtrip_bit_exact(tmp_path):
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.deploy import export_model, load_exported
+    from wavemamba_tpu.models.wavemamba import wavemamba_apply
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    manifest = export_model(params, cfg, [(32, 32), (64, 32)], str(path),
+                            platforms=("cpu",))
+    assert manifest["n_params"] > 0
+    model = load_exported(str(path))
+    assert model.shapes == [(32, 32), (64, 32)]
+
+    x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    want = np.asarray(wavemamba_apply(params, cfg, jnp.asarray(x)))
+    got = model(x)
+    # Same math, but the exported module is a distinct HLO program, so XLA
+    # may reassociate fusions: f32 reorder noise only (measured 2.4e-7).
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_exported_pad_crop_matches_direct(tmp_path):
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.deploy import _reflect_pad, export_model, load_exported
+    from wavemamba_tpu.models.wavemamba import wavemamba_apply
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
+    model = load_exported(str(path))
+
+    # 20x26 input rides the 32x32 program via reflect pad, crops back.
+    x = np.random.RandomState(1).rand(1, 20, 26, 3).astype(np.float32)
+    got = model(x)
+    assert got.shape == (1, 20, 26, 3)
+    want = np.asarray(
+        wavemamba_apply(params, cfg, jnp.asarray(_reflect_pad(x, 32, 32))))
+    np.testing.assert_allclose(got, want[:, :20, :26], atol=2e-6)
+
+
+def test_exported_shape_and_batch_errors(tmp_path):
+    from wavemamba_tpu.deploy import export_model, load_exported
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
+    model = load_exported(str(path))
+    with pytest.raises(ValueError, match="exceeds every exported shape"):
+        model(np.zeros((1, 48, 48, 3), np.float32))
+    with pytest.raises(ValueError, match="batch"):
+        model(np.zeros((2, 16, 16, 3), np.float32))
+
+
+def test_export_cli_serves_folder(tmp_path):
+    """export -> run: the serving path touches only deploy.py + img io."""
+    from wavemamba_tpu.models.wavemamba import WaveMambaConfig  # noqa: F401
+    from wavemamba_tpu.train.checkpoint import save_network
+
+    cfg, params = _tiny(tmp_path)
+    models_dir = tmp_path / "models"
+    save_network(params, str(models_dir), "net_g", 1)
+
+    cli = _export_cli()
+    art = tmp_path / "m.wmx"
+    cli(["export", "-w", str(models_dir / "net_g_1"), "-o", str(art),
+         "--shapes", "32x32", "--platforms", "cpu",
+         "--wf", "8", "--n_l_blocks", "1", "1", "1",
+         "--n_h_blocks", "1", "1", "1"])
+    assert art.exists()
+
+    in_dir = tmp_path / "lq"
+    os.makedirs(in_dir)
+    rs = np.random.RandomState(0)
+    for name, (h, w) in [("a.png", (20, 26)), ("b.png", (32, 32))]:
+        cv2.imwrite(str(in_dir / name), rs.randint(0, 255, (h, w, 3), np.uint8))
+    out_dir = tmp_path / "served"
+    cli(["run", "-a", str(art), "-i", str(in_dir), "-o", str(out_dir)])
+    assert sorted(os.listdir(out_dir)) == ["a.png", "b.png"]
+    assert cv2.imread(str(out_dir / "a.png")).shape == (20, 26, 3)
+
+
+def test_export_swaps_pallas_for_portable_lowering(tmp_path):
+    from wavemamba_tpu.deploy import export_model, load_exported
+    import dataclasses
+
+    cfg, params = _tiny(tmp_path)
+    cfg = dataclasses.replace(cfg, scan_impl="pallas_fused")
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
+    model = load_exported(str(path))
+    assert model.manifest["config"]["scan_impl"] == "chunked"
+    out = model(np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32))
+    assert np.isfinite(out).all()

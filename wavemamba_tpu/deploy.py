@@ -1,0 +1,184 @@
+"""AOT deployment artifacts for serving WaveMamba without model code.
+
+The reference ships weights-only ``.pth`` files and rebuilds the
+architecture in Python at load time (`inference_wavemamba.py:67-106`);
+its deployment unit is therefore "the repo". The TPU-native deployment
+unit is a *compiled program*: this module serializes the jitted forward
+to StableHLO via :mod:`jax.export` — one archive holding the weights and
+one AOT-lowered program per static input shape — so a serving host needs
+only jax + this loader (not the model source, converter, or config
+system) and pays zero retrace cost. StableHLO serialization is
+forward-compatible across jax releases, which also makes the artifact a
+pin against framework drift.
+
+Archive layout (a single ``.wmx`` zip)::
+
+    manifest.json          versioning, config echo, shapes, platforms
+    params.npz             flat weight list, index-ordered (p000000, ...)
+    programs/{H}x{W}.bin   serialized jax.export.Exported per bucket
+
+Programs take ``(flat_params_tuple, x)`` with the weights as a flat
+positional tuple in ``jax.tree_util.tree_flatten`` order — the tree
+structure never needs to be reconstructed at load time.
+
+By default the export lowers for both ``cpu`` and ``tpu`` so an artifact
+built on a CPU host serves on either; the Pallas scan kernels are
+swapped for the XLA ``chunked`` lowering (parity-tested against the
+kernels) because Mosaic custom calls are neither portable nor
+version-stable inside a serialized program. ``allow_custom_calls=True``
+keeps the configured Pallas impl and restricts the artifact to TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import zipfile
+
+import numpy as np
+
+FORMAT_VERSION = 1
+_PORTABLE_SCAN = "chunked"  # XLA lowering used when Pallas impls are configured
+
+
+def _clean_config(cfg):
+    """Config echo for the manifest: serializable fields only."""
+    d = dataclasses.asdict(cfg)
+    d.pop("scan_mesh", None)  # process-local object, not serializable
+    for k, v in list(d.items()):
+        if isinstance(v, tuple):
+            d[k] = list(v)
+    return d
+
+
+def export_model(params, cfg, shapes, out_path, *, batch=1,
+                 platforms=("cpu", "tpu"), allow_custom_calls=False):
+    """Serialize ``wavemamba_apply(params, cfg, x)`` for each ``(H, W)``.
+
+    Args:
+        params: weight pytree (as loaded by ``train.checkpoint.load_network``).
+        cfg: ``WaveMambaConfig``. Pallas scan impls are replaced by the
+            portable XLA lowering unless ``allow_custom_calls``.
+        shapes: iterable of ``(H, W)`` static input shapes. Callers pad to
+            a multiple of 128 like the reference; this is not re-checked
+            (tiles only need x8).
+        out_path: destination ``.wmx`` file.
+        batch: static batch dimension baked into every program.
+        platforms: lowering targets. With ``allow_custom_calls`` the
+            default narrows to ``("tpu",)``.
+        allow_custom_calls: keep Mosaic custom calls (TPU-only artifact).
+    """
+    import jax
+    import jax.export
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.models.wavemamba import wavemamba_apply
+
+    if cfg.scan_impl.startswith("pallas") and not allow_custom_calls:
+        cfg = dataclasses.replace(cfg, scan_impl=_PORTABLE_SCAN)
+    disabled = ()
+    if allow_custom_calls:
+        if platforms == ("cpu", "tpu"):
+            platforms = ("tpu",)
+        disabled = (jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+
+    flat, _ = jax.tree_util.tree_flatten(params)
+    flat = tuple(jnp.asarray(p) for p in flat)
+
+    @jax.jit
+    def fwd(flat_params, x):
+        tree = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params), list(flat_params))
+        return wavemamba_apply(tree, cfg, x)
+
+    param_specs = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat)
+    exporter = jax.export.export(
+        fwd, platforms=list(platforms), disabled_checks=list(disabled))
+
+    shapes = [tuple(map(int, s)) for s in shapes]
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "model": "WaveMamba",
+        "config": _clean_config(cfg),
+        "batch": int(batch),
+        "shapes": [list(s) for s in shapes],
+        "platforms": list(platforms),
+        "n_params": len(flat),
+        "param_bytes": int(sum(p.size * p.dtype.itemsize for p in flat)),
+    }
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("manifest.json", json.dumps(manifest, indent=1))
+        buf = io.BytesIO()
+        np.savez(buf, **{f"p{i:06d}": np.asarray(p) for i, p in enumerate(flat)})
+        zf.writestr("params.npz", buf.getvalue())
+        for H, W in shapes:
+            x_spec = jax.ShapeDtypeStruct((batch, H, W, cfg.in_chn), jnp.float32)
+            exp = exporter(param_specs, x_spec)
+            zf.writestr(f"programs/{H}x{W}.bin", exp.serialize())
+    return manifest
+
+
+class ExportedModel:
+    """A loaded ``.wmx`` artifact: pad → run the right program → crop."""
+
+    def __init__(self, manifest, flat_params, programs):
+        self.manifest = manifest
+        self._flat = flat_params
+        self._programs = programs  # {(H, W): jax.export.Exported}
+        self.shapes = sorted(programs)
+
+    @classmethod
+    def load(cls, path):
+        import jax.export
+
+        with zipfile.ZipFile(path, "r") as zf:
+            manifest = json.loads(zf.read("manifest.json"))
+            if manifest["format_version"] > FORMAT_VERSION:
+                raise ValueError(
+                    f"artifact format {manifest['format_version']} is newer "
+                    f"than this loader ({FORMAT_VERSION})")
+            with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
+                flat = tuple(npz[f"p{i:06d}"] for i in range(manifest["n_params"]))
+            programs = {}
+            for H, W in manifest["shapes"]:
+                exp = jax.export.deserialize(zf.read(f"programs/{H}x{W}.bin"))
+                programs[(H, W)] = exp
+        return cls(manifest, flat, programs)
+
+    def _shape_for(self, h, w):
+        fits = [(H, W) for H, W in self.shapes if H >= h and W >= w]
+        if not fits:
+            raise ValueError(
+                f"input {h}x{w} exceeds every exported shape {self.shapes}; "
+                "re-export with a larger bucket or tile the input")
+        return min(fits, key=lambda s: s[0] * s[1])
+
+    def __call__(self, x):
+        """Enhance ``(B, h, w, C)`` float32 in [0, 1]; returns same shape.
+
+        ``B`` must equal the exported batch; spatial dims reflect-pad up to
+        the smallest exported program that fits (the reference's own
+        128-padding contract, `inference_wavemamba.py:28-36`) and crop back.
+        """
+        x = np.asarray(x, np.float32)
+        b, h, w, _ = x.shape
+        if b != self.manifest["batch"]:
+            raise ValueError(f"batch {b} != exported batch {self.manifest['batch']}")
+        H, W = self._shape_for(h, w)
+        if (h, w) != (H, W):
+            x = _reflect_pad(x, H, W)
+        y = self._programs[(H, W)].call(self._flat, x)
+        return np.asarray(y)[:, :h, :w]
+
+
+def _reflect_pad(x, H, W):
+    """Bottom/right reflect pad, re-reflecting when the pad exceeds the
+    extent (matches ``models.wavemamba.pad_to_multiple``)."""
+    b, h, w, c = x.shape
+    return np.pad(x, ((0, 0), (0, H - h), (0, W - w), (0, 0)), mode="reflect")
+
+
+def load_exported(path):
+    return ExportedModel.load(path)
