@@ -39,9 +39,13 @@ def cmd_export(args):
     params = load_network(args.weight)
     shapes = [_parse_shape(s) for s in args.shapes]
     platforms = tuple(args.platforms)
+    tile = None
+    if args.tile:
+        tile = {"size": args.tile, "pad": args.tile_pad,
+                "batch": args.tile_batch}
     manifest = export_model(
         params, cfg, shapes, args.out, batch=args.batch, platforms=platforms,
-        allow_custom_calls=args.allow_custom_calls)
+        allow_custom_calls=args.allow_custom_calls, tile=tile)
     size = os.path.getsize(args.out)
     print(f"wrote {args.out} ({size/1e6:.1f} MB): "
           f"{len(shapes)} program(s) for {manifest['platforms']}, "
@@ -62,7 +66,8 @@ def cmd_run(args):
     for path in paths:
         img = imread(path)
         t0 = time.time()
-        out = model(img2batch(img))
+        apply = model.tiled if args.tiled else model
+        out = apply(img2batch(img))
         dt = time.time() - t0
         name = os.path.basename(path)
         imwrite(batch2img(out), os.path.join(args.output, name))
@@ -86,6 +91,11 @@ def main(argv=None):
     p.add_argument("--allow_custom_calls", action="store_true",
                    help="keep Pallas kernels (TPU-only, jax-version-pinned)")
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--tile", type=int, default=0,
+                   help="also export a fixed-shape tile program (the >=8K "
+                        "serving path; 0 = whole-frame programs only)")
+    p.add_argument("--tile_pad", type=int, default=16)
+    p.add_argument("--tile_batch", type=int, default=8)
     p.add_argument("--wf", type=int, default=32)
     p.add_argument("--n_l_blocks", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--n_h_blocks", type=int, nargs="+", default=[1, 1, 2])
@@ -95,6 +105,9 @@ def main(argv=None):
     p.add_argument("-a", "--artifact", required=True)
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="results/served")
+    p.add_argument("--tiled", action="store_true",
+                   help="use the artifact's tile program (frames larger "
+                        "than every whole-frame bucket)")
     p.set_defaults(fn=cmd_run)
 
     args = parser.parse_args(argv)

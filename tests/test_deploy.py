@@ -126,3 +126,38 @@ def test_export_swaps_pallas_for_portable_lowering(tmp_path):
     assert model.manifest["config"]["scan_impl"] == "chunked"
     out = model(np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32))
     assert np.isfinite(out).all()
+
+
+def test_exported_tile_program_matches_tiled_apply(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.deploy import export_model, load_exported
+    from wavemamba_tpu.models.tiling import tiled_apply
+    from wavemamba_tpu.models.wavemamba import wavemamba_apply
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    # Whole-frame bucket 32x32 + a 16px tile program (ext 16+2*8=32).
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",),
+                 tile={"size": 16, "pad": 8, "batch": 4})
+    model = load_exported(str(path))
+    assert model.manifest["tile"]["size"] == 16
+
+    # 40x56 exceeds the 32x32 bucket -> whole-frame path refuses, tiled works.
+    x = np.random.RandomState(3).rand(1, 40, 56, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="exceeds every exported shape"):
+        model(x)
+    got = model.tiled(x)
+    assert got.shape == x.shape
+
+    fwd = jax.jit(lambda z: wavemamba_apply(params, cfg, z))
+    want = np.asarray(tiled_apply(fwd, x, tile_size=16, tile_pad=8,
+                                  pad_multiple=8, tile_batch=4))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    # An artifact exported without a tile program refuses .tiled loudly.
+    m2_path = tmp_path / "m2.wmx"
+    export_model(params, cfg, [(32, 32)], str(m2_path), platforms=("cpu",))
+    with pytest.raises(ValueError, match="without a tile program"):
+        load_exported(str(m2_path)).tiled(x)

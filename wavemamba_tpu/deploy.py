@@ -52,8 +52,15 @@ def _clean_config(cfg):
     return d
 
 
+def _tile_ext(tile_size, tile_pad, pad_multiple):
+    """The fixed padded tile shape used by ``models.tiling.tiled_apply``."""
+    ext = tile_size + 2 * tile_pad
+    return ext + (-ext) % pad_multiple
+
+
 def export_model(params, cfg, shapes, out_path, *, batch=1,
-                 platforms=("cpu", "tpu"), allow_custom_calls=False):
+                 platforms=("cpu", "tpu"), allow_custom_calls=False,
+                 tile=None):
     """Serialize ``wavemamba_apply(params, cfg, x)`` for each ``(H, W)``.
 
     Args:
@@ -68,6 +75,11 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         platforms: lowering targets. With ``allow_custom_calls`` the
             default narrows to ``("tpu",)``.
         allow_custom_calls: keep Mosaic custom calls (TPU-only artifact).
+        tile: optional ``{"size": 240, "pad": 16, "batch": 8,
+            "pad_multiple": 8}`` — additionally export one fixed-shape tile
+            program so the artifact serves frames LARGER than any whole-frame
+            bucket via ``ExportedModel.tiled`` (the ≥8K path; whole-frame is
+            higher-fidelity up to 4K, see BENCH_NOTES.md "tiled-vs-whole").
     """
     import jax
     import jax.export
@@ -97,6 +109,11 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         fwd, platforms=list(platforms), disabled_checks=list(disabled))
 
     shapes = [tuple(map(int, s)) for s in shapes]
+    if tile is not None:
+        tile = {"size": int(tile.get("size", 240)),
+                "pad": int(tile.get("pad", 16)),
+                "batch": int(tile.get("batch", 8)),
+                "pad_multiple": int(tile.get("pad_multiple", 8))}
     manifest = {
         "format_version": FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -104,6 +121,7 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         "config": _clean_config(cfg),
         "batch": int(batch),
         "shapes": [list(s) for s in shapes],
+        "tile": tile,
         "platforms": list(platforms),
         "n_params": len(flat),
         "param_bytes": int(sum(p.size * p.dtype.itemsize for p in flat)),
@@ -117,16 +135,23 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
             x_spec = jax.ShapeDtypeStruct((batch, H, W, cfg.in_chn), jnp.float32)
             exp = exporter(param_specs, x_spec)
             zf.writestr(f"programs/{H}x{W}.bin", exp.serialize())
+        if tile is not None:
+            ext = _tile_ext(tile["size"], tile["pad"], tile["pad_multiple"])
+            x_spec = jax.ShapeDtypeStruct(
+                (tile["batch"], ext, ext, cfg.in_chn), jnp.float32)
+            zf.writestr("programs/tile.bin",
+                        exporter(param_specs, x_spec).serialize())
     return manifest
 
 
 class ExportedModel:
     """A loaded ``.wmx`` artifact: pad → run the right program → crop."""
 
-    def __init__(self, manifest, flat_params, programs):
+    def __init__(self, manifest, flat_params, programs, tile_program=None):
         self.manifest = manifest
         self._flat = flat_params
         self._programs = programs  # {(H, W): jax.export.Exported}
+        self._tile_program = tile_program
         self.shapes = sorted(programs)
 
     @classmethod
@@ -145,7 +170,10 @@ class ExportedModel:
             for H, W in manifest["shapes"]:
                 exp = jax.export.deserialize(zf.read(f"programs/{H}x{W}.bin"))
                 programs[(H, W)] = exp
-        return cls(manifest, flat, programs)
+            tile_program = None
+            if manifest.get("tile") is not None:
+                tile_program = jax.export.deserialize(zf.read("programs/tile.bin"))
+        return cls(manifest, flat, programs, tile_program)
 
     def _shape_for(self, h, w):
         fits = [(H, W) for H, W in self.shapes if H >= h and W >= w]
@@ -171,6 +199,23 @@ class ExportedModel:
             x = _reflect_pad(x, H, W)
         y = self._programs[(H, W)].call(self._flat, x)
         return np.asarray(y)[:, :h, :w]
+
+    def tiled(self, x):
+        """Enhance ``(1, h, w, C)`` of any size through the fixed-shape tile
+        program (requires ``tile=...`` at export). Prefer whole-frame
+        programs up to 4K: SS2D's receptive field is frame-global, so tiles
+        trade fidelity for unbounded size (BENCH_NOTES.md)."""
+        if self._tile_program is None:
+            raise ValueError("artifact was exported without a tile program")
+        from wavemamba_tpu.models.tiling import tiled_apply
+
+        t = self.manifest["tile"]
+        fn = lambda chunk: self._tile_program.call(  # noqa: E731
+            self._flat, np.asarray(chunk, np.float32))
+        return np.asarray(tiled_apply(
+            fn, np.asarray(x, np.float32), tile_size=t["size"],
+            tile_pad=t["pad"], pad_multiple=t["pad_multiple"],
+            tile_batch=t["batch"]))
 
 
 def _reflect_pad(x, H, W):
