@@ -8,17 +8,20 @@ from wavemamba_tpu.models.wavemamba import WaveMambaConfig, wavemamba_apply
 from wavemamba_tpu.train.checkpoint import load_network
 
 cfg = WaveMambaConfig()
-ck = {
-    "004": load_network("/root/repo/ckpt/WaveMamba_ProcLLIE_512.pth"),
-    "005": load_network("/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN.pth"),
+_CKPTS = {
+    "004": "/root/repo/ckpt/WaveMamba_ProcLLIE_512.pth",
+    "005": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN.pth",
+    "006": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_12k.pth",
 }
+import os
+ck = {k: load_network(p) for k, p in _CKPTS.items() if os.path.exists(p)}
 fwd = jax.jit(lambda p, t: wavemamba_apply(p, cfg, t))
 
 def psnr(a, b):
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
-for ds in ("proc_llie", "proc_llie_bsrgan"):
+for ds in ("proc_llie", "proc_llie_bsrgan", "proc_llie_bsrgan_xl"):
     ins = sorted(glob.glob(f"/root/repo/datasets/{ds}/val/input/*.png"))[:6]
     gts = sorted(glob.glob(f"/root/repo/datasets/{ds}/val/gt/*.png"))[:6]
     for name, params in ck.items():
