@@ -161,3 +161,22 @@ def test_exported_tile_program_matches_tiled_apply(tmp_path):
     export_model(params, cfg, [(32, 32)], str(m2_path), platforms=("cpu",))
     with pytest.raises(ValueError, match="without a tile program"):
         load_exported(str(m2_path)).tiled(x)
+
+
+def test_tpu_pinned_export_builds_on_cpu_host(tmp_path):
+    """--allow_custom_calls keeps the Pallas kernels: Mosaic LOWERING is
+    host-side, so the TPU-only artifact must build without a TPU attached
+    (it compiles on the serving chip at load)."""
+    import dataclasses
+
+    from wavemamba_tpu.deploy import export_model
+
+    cfg, params = _tiny(tmp_path)
+    cfg = dataclasses.replace(cfg, scan_impl="pallas_fused",
+                              compute_dtype="bfloat16", scan_dtype="bfloat16")
+    path = tmp_path / "m.wmx"
+    manifest = export_model(params, cfg, [(32, 32)], str(path),
+                            allow_custom_calls=True)
+    assert manifest["platforms"] == ["tpu"]
+    assert manifest["config"]["scan_impl"] == "pallas_fused"
+    assert path.exists()

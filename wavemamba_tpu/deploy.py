@@ -26,7 +26,10 @@ built on a CPU host serves on either; the Pallas scan kernels are
 swapped for the XLA ``chunked`` lowering (parity-tested against the
 kernels) because Mosaic custom calls are neither portable nor
 version-stable inside a serialized program. ``allow_custom_calls=True``
-keeps the configured Pallas impl and restricts the artifact to TPU.
+keeps the configured Pallas impl and restricts the artifact to TPU;
+Mosaic *lowering* is host-side, so even these TPU-pinned artifacts can
+be built on a CPU-only host (the kernels compile on the serving TPU at
+load time).
 """
 
 from __future__ import annotations
