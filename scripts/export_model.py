@@ -45,7 +45,8 @@ def cmd_export(args):
                 "batch": args.tile_batch}
     manifest = export_model(
         params, cfg, shapes, args.out, batch=args.batch, platforms=platforms,
-        allow_custom_calls=args.allow_custom_calls, tile=tile)
+        allow_custom_calls=args.allow_custom_calls, tile=tile,
+        mesh_devices=args.mesh_devices)
     size = os.path.getsize(args.out)
     print(f"wrote {args.out} ({size/1e6:.1f} MB): "
           f"{len(shapes)} program(s) for {manifest['platforms']}, "
@@ -96,6 +97,10 @@ def main(argv=None):
                         "serving path; 0 = whole-frame programs only)")
     p.add_argument("--tile_pad", type=int, default=16)
     p.add_argument("--tile_batch", type=int, default=8)
+    p.add_argument("--mesh_devices", type=int, default=1,
+                   help=">1 shards the tile program's batch over a 'data' "
+                        "mesh (multi-chip tiled serving; serving host must "
+                        "have exactly this many devices)")
     p.add_argument("--wf", type=int, default=32)
     p.add_argument("--n_l_blocks", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--n_h_blocks", type=int, nargs="+", default=[1, 1, 2])

@@ -180,3 +180,45 @@ def test_tpu_pinned_export_builds_on_cpu_host(tmp_path):
     assert manifest["platforms"] == ["tpu"]
     assert manifest["config"]["scan_impl"] == "pallas_fused"
     assert path.exists()
+
+
+def test_mesh_sharded_tile_program(tmp_path):
+    """mesh_devices=4: the tile program runs sharded over a 4-device 'data'
+    mesh (params replicated, tile batch split) and matches the single-device
+    tiled result."""
+    import jax
+
+    from wavemamba_tpu.deploy import export_model, load_exported
+    from wavemamba_tpu.models.tiling import tiled_apply
+    from wavemamba_tpu.models.wavemamba import wavemamba_apply
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",),
+                 tile={"size": 16, "pad": 8, "batch": 4}, mesh_devices=4)
+    model = load_exported(str(path))
+    assert model.manifest["mesh_devices"] == 4
+
+    x = np.random.RandomState(7).rand(1, 40, 56, 3).astype(np.float32)
+    got = model.tiled(x)
+
+    fwd = jax.jit(lambda z: wavemamba_apply(params, cfg, z))
+    want = np.asarray(tiled_apply(fwd, x, tile_size=16, tile_pad=8,
+                                  pad_multiple=8, tile_batch=4))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_mesh_export_validation(tmp_path):
+    from wavemamba_tpu.deploy import export_model
+
+    cfg, params = _tiny(tmp_path)
+    with pytest.raises(ValueError, match="shards the tile program"):
+        export_model(params, cfg, [(32, 32)], str(tmp_path / "x.wmx"),
+                     platforms=("cpu",), mesh_devices=2)
+    with pytest.raises(ValueError, match="must divide"):
+        export_model(params, cfg, [(32, 32)], str(tmp_path / "x.wmx"),
+                     platforms=("cpu",),
+                     tile={"size": 16, "pad": 8, "batch": 3}, mesh_devices=2)

@@ -63,7 +63,7 @@ def _tile_ext(tile_size, tile_pad, pad_multiple):
 
 def export_model(params, cfg, shapes, out_path, *, batch=1,
                  platforms=("cpu", "tpu"), allow_custom_calls=False,
-                 tile=None):
+                 tile=None, mesh_devices=1):
     """Serialize ``wavemamba_apply(params, cfg, x)`` for each ``(H, W)``.
 
     Args:
@@ -83,6 +83,14 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
             program so the artifact serves frames LARGER than any whole-frame
             bucket via ``ExportedModel.tiled`` (the ≥8K path; whole-frame is
             higher-fidelity up to 4K, see BENCH_NOTES.md "tiled-vs-whole").
+        mesh_devices: >1 exports the TILE program sharded over a
+            ``('data',)`` mesh — params replicated, the tile batch split
+            across chips (the multi-chip serving story; matches
+            ``models.tiling.tiled_apply_mesh``). The build host needs that
+            many jax devices: on a CPU-only host use
+            ``XLA_FLAGS=--xla_force_host_platform_device_count=N``; the
+            logical device assignment re-binds to the serving host's chips
+            at load. Serving requires exactly ``mesh_devices`` devices.
     """
     import jax
     import jax.export
@@ -117,6 +125,19 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
                 "pad": int(tile.get("pad", 16)),
                 "batch": int(tile.get("batch", 8)),
                 "pad_multiple": int(tile.get("pad_multiple", 8))}
+    mesh_devices = int(mesh_devices)
+    if mesh_devices > 1:
+        if tile is None:
+            raise ValueError("mesh_devices > 1 shards the tile program; "
+                             "pass tile=... as well")
+        if tile["batch"] % mesh_devices:
+            raise ValueError(f"tile batch {tile['batch']} must divide over "
+                             f"{mesh_devices} devices")
+        if len(jax.devices()) < mesh_devices:
+            raise ValueError(
+                f"export host has {len(jax.devices())} jax devices, "
+                f"need {mesh_devices} (CPU hosts: set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={mesh_devices})")
     manifest = {
         "format_version": FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -125,6 +146,7 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         "batch": int(batch),
         "shapes": [list(s) for s in shapes],
         "tile": tile,
+        "mesh_devices": mesh_devices,
         "platforms": list(platforms),
         "n_params": len(flat),
         "param_bytes": int(sum(p.size * p.dtype.itemsize for p in flat)),
@@ -142,8 +164,20 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
             ext = _tile_ext(tile["size"], tile["pad"], tile["pad_multiple"])
             x_spec = jax.ShapeDtypeStruct(
                 (tile["batch"], ext, ext, cfg.in_chn), jnp.float32)
+            t_param_specs = param_specs
+            if mesh_devices > 1:
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+                mesh = Mesh(np.array(jax.devices()[:mesh_devices]), ("data",))
+                repl = NamedSharding(mesh, PartitionSpec())
+                split = NamedSharding(mesh, PartitionSpec("data"))
+                t_param_specs = tuple(
+                    jax.ShapeDtypeStruct(p.shape, p.dtype, sharding=repl)
+                    for p in flat)
+                x_spec = jax.ShapeDtypeStruct(
+                    x_spec.shape, x_spec.dtype, sharding=split)
             zf.writestr("programs/tile.bin",
-                        exporter(param_specs, x_spec).serialize())
+                        exporter(t_param_specs, x_spec).serialize())
     return manifest
 
 
@@ -213,8 +247,30 @@ class ExportedModel:
         from wavemamba_tpu.models.tiling import tiled_apply
 
         t = self.manifest["tile"]
-        fn = lambda chunk: self._tile_program.call(  # noqa: E731
-            self._flat, np.asarray(chunk, np.float32))
+        n_mesh = self.manifest.get("mesh_devices", 1)
+        if n_mesh > 1:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            devs = jax.devices()
+            if len(devs) < n_mesh:
+                raise ValueError(
+                    f"tile program was exported for {n_mesh} devices; "
+                    f"this host has {len(devs)}")
+            mesh = Mesh(np.array(devs[:n_mesh]), ("data",))
+            repl = NamedSharding(mesh, PartitionSpec())
+            split = NamedSharding(mesh, PartitionSpec("data"))
+            placed = tuple(jax.device_put(jnp.asarray(p), repl)
+                           for p in self._flat)
+
+            def fn(chunk):
+                xb = jax.device_put(
+                    jnp.asarray(np.asarray(chunk, np.float32)), split)
+                return self._tile_program.call(placed, xb)
+        else:
+            fn = lambda chunk: self._tile_program.call(  # noqa: E731
+                self._flat, np.asarray(chunk, np.float32))
         return np.asarray(tiled_apply(
             fn, np.asarray(x, np.float32), tile_size=t["size"],
             tile_pad=t["pad"], pad_multiple=t["pad_multiple"],
