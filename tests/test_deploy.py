@@ -123,7 +123,7 @@ def test_export_swaps_pallas_for_portable_lowering(tmp_path):
     path = tmp_path / "m.wmx"
     export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
     model = load_exported(str(path))
-    assert model.manifest["config"]["scan_impl"] == "chunked"
+    assert model.manifest["config"]["scan_impl"] == "par"
     out = model(np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32))
     assert np.isfinite(out).all()
 

@@ -42,7 +42,11 @@ import zipfile
 import numpy as np
 
 FORMAT_VERSION = 1
-_PORTABLE_SCAN = "chunked"  # XLA lowering used when Pallas impls are configured
+# XLA lowering used when Pallas impls are configured: the fully-parallel
+# scan, the same choice as WaveMambaConfig.fast_xla() (0.563 s vs chunked's
+# 0.77 s @1080p on v5e, BENCH_NOTES.md). Bit-parity default configs
+# (scan_impl='chunked') are exported unchanged.
+_PORTABLE_SCAN = "par"
 
 
 def _clean_config(cfg):
