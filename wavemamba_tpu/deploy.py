@@ -23,7 +23,7 @@ structure never needs to be reconstructed at load time.
 
 By default the export lowers for both ``cpu`` and ``tpu`` so an artifact
 built on a CPU host serves on either; the Pallas scan kernels are
-swapped for the XLA ``chunked`` lowering (parity-tested against the
+swapped for the fully-parallel XLA lowering (parity-tested against the
 kernels) because Mosaic custom calls are neither portable nor
 version-stable inside a serialized program. ``allow_custom_calls=True``
 keeps the configured Pallas impl and restricts the artifact to TPU;
@@ -193,6 +193,7 @@ class ExportedModel:
         self._flat = flat_params
         self._programs = programs  # {(H, W): jax.export.Exported}
         self._tile_program = tile_program
+        self._placed = None  # mesh-replicated params, built on first tiled()
         self.shapes = sorted(programs)
 
     @classmethod
@@ -265,8 +266,10 @@ class ExportedModel:
             mesh = Mesh(np.array(devs[:n_mesh]), ("data",))
             repl = NamedSharding(mesh, PartitionSpec())
             split = NamedSharding(mesh, PartitionSpec("data"))
-            placed = tuple(jax.device_put(jnp.asarray(p), repl)
-                           for p in self._flat)
+            if self._placed is None:
+                self._placed = tuple(jax.device_put(jnp.asarray(p), repl)
+                                     for p in self._flat)
+            placed = self._placed
 
             def fn(chunk):
                 xb = jax.device_put(
