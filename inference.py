@@ -69,7 +69,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-i", "--input", type=str, required=True, help="input (LQ) image folder")
     parser.add_argument("-g", "--gt", type=str, default=None, help="ground-truth folder")
-    parser.add_argument("-w", "--weight", type=str, required=True, help="checkpoint (.pth or orbax dir)")
+    parser.add_argument("-w", "--weight", type=str, required=True,
+                        help="checkpoint (.pth or orbax dir) or .wmx "
+                             "deployment artifact (scripts/export_model.py)")
     parser.add_argument("-o", "--output", type=str, default="results/", help="output folder")
     parser.add_argument("-s", "--out_scale", type=int, default=1, help="output scale (1)")
     parser.add_argument("--suffix", type=str, default="", help="output filename suffix")
@@ -102,12 +104,22 @@ def main(argv=None):
     from wavemamba_tpu.utils.img_util import batch2img, img2batch, imread, imwrite
     from wavemamba_tpu.utils.misc import scandir
 
-    mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
-    cfg = mk(
-        wf=args.wf, n_l_blocks=tuple(args.n_l_blocks), n_h_blocks=tuple(args.n_h_blocks)
-    )
-    params = load_network(args.weight)
-    fwd = jax.jit(lambda x: wavemamba_apply(params, cfg, x))
+    artifact = None
+    if args.weight.endswith(".wmx"):
+        # AOT deployment artifact (wavemamba_tpu/deploy.py): programs are
+        # pre-lowered per shape, so the bucket ladder / padding below is
+        # bypassed — the artifact pads to its own exported buckets.
+        from wavemamba_tpu.deploy import load_exported
+
+        artifact = load_exported(args.weight)
+        fwd = None
+    else:
+        mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
+        cfg = mk(
+            wf=args.wf, n_l_blocks=tuple(args.n_l_blocks), n_h_blocks=tuple(args.n_h_blocks)
+        )
+        params = load_network(args.weight)
+        fwd = jax.jit(lambda x: wavemamba_apply(params, cfg, x))
 
     psnr = build_metric({"type": "psnr", "crop_border": 1, "test_y_channel": True})
     ssim = build_metric({"type": "ssim", "crop_border": 1, "test_y_channel": True})
@@ -127,7 +139,9 @@ def main(argv=None):
         img = imread(path)  # BGR uint8
         batch = img2batch(img)  # (1,H,W,3) RGB float
         t0 = time.time()
-        if args.tile:
+        if artifact is not None:
+            out = artifact.tiled(batch) if args.tile else artifact(batch)
+        elif args.tile:
             # Tiles only need the model's x8 divisibility (whole-image mode
             # keeps the reference's x128 padding for output parity).
             out = tiled_apply(fwd, batch, tile_size=args.tile, pad_multiple=8)

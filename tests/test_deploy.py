@@ -222,3 +222,59 @@ def test_mesh_export_validation(tmp_path):
         export_model(params, cfg, [(32, 32)], str(tmp_path / "x.wmx"),
                      platforms=("cpu",),
                      tile={"size": 16, "pad": 8, "batch": 3}, mesh_devices=2)
+
+
+def test_checksum_guards_weight_payload(tmp_path):
+    import json
+    import zipfile
+
+    from wavemamba_tpu.deploy import export_model, load_exported
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
+    load_exported(str(path))  # intact artifact loads
+
+    # Corrupt one weight value; the loader must refuse.
+    import io as _io
+
+    bad = tmp_path / "bad.wmx"
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(bad, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "params.npz":
+                with np.load(_io.BytesIO(data)) as npz:
+                    arrs = {k: npz[k].copy() for k in npz.files}
+                arrs["p000000"].flat[0] += 1.0
+                buf = _io.BytesIO()
+                np.savez(buf, **arrs)
+                data = buf.getvalue()
+            zout.writestr(name, data)
+    with pytest.raises(ValueError, match="checksum"):
+        load_exported(str(bad))
+
+
+def test_inference_cli_accepts_wmx_artifact(tmp_path, capsys):
+    """inference.py -w model.wmx serves from the artifact (with GT metrics),
+    so artifact fidelity is measurable through the same CLI as checkpoints."""
+    from wavemamba_tpu.deploy import export_model
+
+    cfg, params = _tiny(tmp_path)
+    art = tmp_path / "m.wmx"
+    export_model(params, cfg, [(128, 128)], str(art), platforms=("cpu",))
+
+    in_dir, gt_dir = tmp_path / "lq", tmp_path / "gt"
+    os.makedirs(in_dir); os.makedirs(gt_dir)
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (40, 48, 3), np.uint8)
+    cv2.imwrite(str(in_dir / "a.png"), (img * 0.2).astype(np.uint8))
+    cv2.imwrite(str(gt_dir / "a.png"), img)
+
+    from inference import main as infer_main
+
+    out_dir = tmp_path / "out"
+    infer_main(["-i", str(in_dir), "-g", str(gt_dir), "-w", str(art),
+                "-o", str(out_dir)])
+    out = capsys.readouterr().out
+    assert "psnr" in out and "avg psnr" in out
+    assert cv2.imread(str(out_dir / "a.png")).shape == (40, 48, 3)

@@ -35,6 +35,7 @@ load time).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import io
 import json
 import zipfile
@@ -57,6 +58,13 @@ def _clean_config(cfg):
         if isinstance(v, tuple):
             d[k] = list(v)
     return d
+
+
+def _params_digest(flat):
+    h = hashlib.sha256()
+    for p in flat:
+        h.update(np.ascontiguousarray(np.asarray(p)).tobytes())
+    return h.hexdigest()
 
 
 def _tile_ext(tile_size, tile_pad, pad_multiple):
@@ -154,6 +162,7 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         "platforms": list(platforms),
         "n_params": len(flat),
         "param_bytes": int(sum(p.size * p.dtype.itemsize for p in flat)),
+        "params_sha256": _params_digest(flat),
     }
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("manifest.json", json.dumps(manifest, indent=1))
@@ -208,6 +217,11 @@ class ExportedModel:
                     f"than this loader ({FORMAT_VERSION})")
             with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
                 flat = tuple(npz[f"p{i:06d}"] for i in range(manifest["n_params"]))
+            want = manifest.get("params_sha256")
+            if want is not None and _params_digest(flat) != want:
+                raise ValueError(
+                    f"{path}: weight payload does not match the manifest "
+                    "checksum — corrupt or tampered artifact")
             programs = {}
             for H, W in manifest["shapes"]:
                 exp = jax.export.deserialize(zf.read(f"programs/{H}x{W}.bin"))
