@@ -97,9 +97,10 @@ class WaveMambaConfig:
     @classmethod
     def fast(cls, **kw):
         """Tuned TPU inference preset: bf16 convs/matmuls + the FUSED Pallas
-        kernel (dt/B/C projections + scan in one kernel, fp32 state) +
-        MXU-conv Haar/pyramid. 0.257 s @1080p / 1.00 s @4K on one v5e —
-        1.56x the reference GPU's 0.402 s @1080p (BENCH_NOTES.md). Also
+        kernel (dt/B/C projections + scan in one kernel, fp32 state, bf16
+        MXU reversal permutes + bf16 y streaming) + MXU-conv Haar/pyramid.
+        0.201 s @1080p device-side on one v5e — ~2x the reference GPU's
+        0.402 s (BENCH_NOTES.md). Also
         differentiable (`fast_train()` tunes the chunk for the backward
         kernel's VMEM budget). Mosaic kernels only compile on TPU backends,
         so on CPU/GPU this silently degrades to the portable `fast_xla()`
