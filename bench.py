@@ -5,6 +5,16 @@ Baseline: the reference reports 0.402 s for a 1920x1080 forward on a CUDA
 GPU (`ACMMM2024Rebuttal_revised1.pdf` Table 2; BASELINE.md). vs_baseline is
 baseline_seconds / our_seconds (>1 means faster than the reference GPU).
 
+Methodology (steady-state): dispatch K frames back-to-back and fence once
+on the last frame's in-program reduction, divide by K. JAX dispatch is
+async, so the device executes the queue serially while the host dispatches
+ahead — per-frame time converges to the true device latency (202 ms
+measured vs 201 ms from the jax.profiler device trace, BENCH_NOTES.md).
+A per-iteration sync fence instead adds one tunnel dispatch+fence RTT
+(~25 ms, a sandbox artifact of the tunneled `axon` platform — absent on
+any real TPU host) to every frame; that number is still printed on stderr
+for comparability with rounds 1-2, which used the sync methodology.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -80,11 +90,24 @@ def main():
             run_sync()
     run_sync()  # warmup
 
-    times = []
-    for _ in range(5):
+    # Legacy per-iteration sync number (rounds 1-2 methodology): stderr only.
+    sync_times = []
+    for _ in range(3):
         t0 = time.perf_counter()
         run_sync()
-        times.append(time.perf_counter() - t0)
+        sync_times.append(time.perf_counter() - t0)
+    print(f"# sync-fenced per-iter: {np.median(sync_times):.5f} s "
+          "(includes ~25 ms/iter tunnel RTT)", file=sys.stderr)
+
+    # Steady-state: K frames in flight, one fence on the last.
+    K = 10
+    times = []
+    for _ in range(3):
+        run_sync()  # drain the queue so t0 starts from an idle device
+        t0 = time.perf_counter()
+        fences = [fwd(params, x)[1] for _ in range(K)]
+        float(fences[-1])  # the transfer awaits all K executions
+        times.append((time.perf_counter() - t0) / K)
     latency = float(np.median(times))
 
     print(
