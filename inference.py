@@ -140,6 +140,8 @@ def main(argv=None):
         batch = img2batch(img)  # (1,H,W,3) RGB float
         t0 = time.time()
         if artifact is not None:
+            if artifact.io_dtype == "uint8":
+                batch = img[..., ::-1][None]  # BGR->RGB uint8, bytes only
             out = artifact.tiled(batch) if args.tile else artifact(batch)
         elif args.tile:
             # Tiles only need the model's x8 divisibility (whole-image mode
@@ -153,7 +155,10 @@ def main(argv=None):
             H, W = ladder.shape_for(h, w)
             out = np.asarray(fwd(jnp.asarray(pad_to_shape(batch, H, W))))[:, :h, :w]
         dt = time.time() - t0
-        sr = batch2img(out)  # BGR uint8
+        if artifact is not None and artifact.io_dtype == "uint8":
+            sr = out[0][..., ::-1]  # already save-path-quantized on device
+        else:
+            sr = batch2img(out)  # BGR uint8
 
         line = f"{name}: {dt:.3f}s"
         if args.gt:

@@ -46,7 +46,7 @@ def cmd_export(args):
     manifest = export_model(
         params, cfg, shapes, args.out, batch=args.batch, platforms=platforms,
         allow_custom_calls=args.allow_custom_calls, tile=tile,
-        mesh_devices=args.mesh_devices)
+        mesh_devices=args.mesh_devices, io_dtype=args.io)
     size = os.path.getsize(args.out)
     print(f"wrote {args.out} ({size/1e6:.1f} MB): "
           f"{len(shapes)} program(s) for {manifest['platforms']}, "
@@ -65,13 +65,20 @@ def cmd_run(args):
     paths = ([args.input] if os.path.isfile(args.input)
              else sorted(scandir(args.input, full_path=True)))
     for path in paths:
-        img = imread(path)
+        img = imread(path)  # BGR uint8
         t0 = time.time()
         apply = model.tiled if args.tiled else model
-        out = apply(img2batch(img))
+        if model.io_dtype == "uint8":
+            # Bytes in, bytes out: BGR->RGB view only; the float conversion
+            # and the save-path quantization both run on the device.
+            out = apply(img[..., ::-1][None])
+            sr = out[0][..., ::-1]
+        else:
+            out = apply(img2batch(img))
+            sr = batch2img(out)
         dt = time.time() - t0
         name = os.path.basename(path)
-        imwrite(batch2img(out), os.path.join(args.output, name))
+        imwrite(sr, os.path.join(args.output, name))
         print(f"{name}: {dt:.3f}s", flush=True)
 
 
@@ -97,6 +104,10 @@ def main(argv=None):
                         "serving path; 0 = whole-frame programs only)")
     p.add_argument("--tile_pad", type=int, default=16)
     p.add_argument("--tile_batch", type=int, default=8)
+    p.add_argument("--io", choices=["float32", "uint8"], default="float32",
+                   help="uint8 bakes the byte<->float conversion into the "
+                        "program: 8x less host<->device pixel traffic, "
+                        "quantization identical to the PNG save path")
     p.add_argument("--mesh_devices", type=int, default=1,
                    help=">1 shards the tile program's batch over a 'data' "
                         "mesh (multi-chip tiled serving; serving host must "

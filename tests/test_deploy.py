@@ -254,6 +254,67 @@ def test_checksum_guards_weight_payload(tmp_path):
         load_exported(str(bad))
 
 
+def test_uint8_io_matches_save_path_quantization(tmp_path):
+    """io_dtype='uint8' bakes the byte<->float conversion into the program:
+    the served bytes must equal batch2img's quantization of the float
+    program's output (same clip/scale/round math, just on device)."""
+    from wavemamba_tpu.deploy import export_model, load_exported
+
+    cfg, params = _tiny(tmp_path)
+    f32_path, u8_path = tmp_path / "f32.wmx", tmp_path / "u8.wmx"
+    export_model(params, cfg, [(32, 32)], str(f32_path), platforms=("cpu",),
+                 tile={"size": 16, "pad": 8, "batch": 4})
+    export_model(params, cfg, [(32, 32)], str(u8_path), platforms=("cpu",),
+                 tile={"size": 16, "pad": 8, "batch": 4}, io_dtype="uint8")
+    m32, m8 = load_exported(str(f32_path)), load_exported(str(u8_path))
+    assert m8.io_dtype == "uint8" and m32.io_dtype == "float32"
+
+    rs = np.random.RandomState(11)
+    bytes_in = rs.randint(0, 256, (1, 20, 26, 3), np.uint8)
+    got = m8(bytes_in)
+    assert got.dtype == np.uint8
+    want_f = m32(bytes_in.astype(np.float32) / 255.0)
+    want = np.round(np.clip(want_f, 0, 1) * 255.0).astype(np.uint8)
+    # Same math; reassociated fusions can flip a borderline .5 by one code.
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    # Float [0,1] input is quantized host-side to the same program dtype.
+    np.testing.assert_array_equal(m8(bytes_in.astype(np.float32) / 255.0), got)
+
+    # Tiled path serves bytes end to end too.
+    big = rs.randint(0, 256, (1, 40, 56, 3), np.uint8)
+    got_t = m8.tiled(big)
+    assert got_t.dtype == np.uint8 and got_t.shape == big.shape
+    want_t = np.round(
+        np.clip(m32.tiled(big.astype(np.float32) / 255.0), 0, 1) * 255.0
+    ).astype(np.uint8)
+    assert int(np.abs(got_t.astype(int) - want_t.astype(int)).max()) <= 1
+
+
+def test_export_cli_uint8_serves_folder(tmp_path):
+    """export --io uint8 -> run: bytes-only serving through the CLI."""
+    from wavemamba_tpu.train.checkpoint import save_network
+
+    cfg, params = _tiny(tmp_path)
+    models_dir = tmp_path / "models"
+    save_network(params, str(models_dir), "net_g", 1)
+
+    cli = _export_cli()
+    art = tmp_path / "m8.wmx"
+    cli(["export", "-w", str(models_dir / "net_g_1"), "-o", str(art),
+         "--shapes", "32x32", "--platforms", "cpu", "--io", "uint8",
+         "--wf", "8", "--n_l_blocks", "1", "1", "1",
+         "--n_h_blocks", "1", "1", "1"])
+
+    in_dir = tmp_path / "lq"
+    os.makedirs(in_dir)
+    cv2.imwrite(str(in_dir / "a.png"),
+                np.random.RandomState(0).randint(0, 255, (20, 26, 3), np.uint8))
+    out_dir = tmp_path / "served"
+    cli(["run", "-a", str(art), "-i", str(in_dir), "-o", str(out_dir)])
+    assert cv2.imread(str(out_dir / "a.png")).shape == (20, 26, 3)
+
+
 def test_inference_cli_accepts_wmx_artifact(tmp_path, capsys):
     """inference.py -w model.wmx serves from the artifact (with GT metrics),
     so artifact fidelity is measurable through the same CLI as checkpoints."""

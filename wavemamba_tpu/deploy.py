@@ -75,7 +75,7 @@ def _tile_ext(tile_size, tile_pad, pad_multiple):
 
 def export_model(params, cfg, shapes, out_path, *, batch=1,
                  platforms=("cpu", "tpu"), allow_custom_calls=False,
-                 tile=None, mesh_devices=1):
+                 tile=None, mesh_devices=1, io_dtype="float32"):
     """Serialize ``wavemamba_apply(params, cfg, x)`` for each ``(H, W)``.
 
     Args:
@@ -103,6 +103,14 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
             ``XLA_FLAGS=--xla_force_host_platform_device_count=N``; the
             logical device assignment re-binds to the serving host's chips
             at load. Serving requires exactly ``mesh_devices`` devices.
+        io_dtype: ``"float32"`` (default) or ``"uint8"``. uint8 moves the
+            byte<->float conversion onto the device: programs take uint8
+            pixels and return uint8 pixels, quantized EXACTLY like the
+            save path (clip to [0,1], *255, round-half-even — the math of
+            ``utils.img_util.batch2img``), so serving fidelity is
+            unchanged while host<->device pixel traffic shrinks 8x (f32
+            1080p round trip is ~48 MB/frame; measured 3.1 s/frame over
+            this sandbox's ~16 MB/s tunnel, BENCH_NOTES.md).
     """
     import jax
     import jax.export
@@ -112,6 +120,8 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
 
     if cfg.scan_impl.startswith("pallas") and not allow_custom_calls:
         cfg = dataclasses.replace(cfg, scan_impl=_PORTABLE_SCAN)
+    if io_dtype not in ("float32", "uint8"):
+        raise ValueError(f"io_dtype must be 'float32' or 'uint8', got {io_dtype!r}")
     disabled = ()
     if allow_custom_calls:
         if platforms == ("cpu", "tpu"):
@@ -125,7 +135,14 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
     def fwd(flat_params, x):
         tree = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(params), list(flat_params))
+        if io_dtype == "uint8":
+            y = wavemamba_apply(tree, cfg, x.astype(jnp.float32) / 255.0)
+            # batch2img's exact quantization, on device (round is
+            # half-to-even in both numpy and XLA).
+            return jnp.round(jnp.clip(y, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         return wavemamba_apply(tree, cfg, x)
+
+    x_dtype = jnp.uint8 if io_dtype == "uint8" else jnp.float32
 
     param_specs = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in flat)
     exporter = jax.export.export(
@@ -159,6 +176,7 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         "shapes": [list(s) for s in shapes],
         "tile": tile,
         "mesh_devices": mesh_devices,
+        "io_dtype": io_dtype,
         "platforms": list(platforms),
         "n_params": len(flat),
         "param_bytes": int(sum(p.size * p.dtype.itemsize for p in flat)),
@@ -170,13 +188,13 @@ def export_model(params, cfg, shapes, out_path, *, batch=1,
         np.savez(buf, **{f"p{i:06d}": np.asarray(p) for i, p in enumerate(flat)})
         zf.writestr("params.npz", buf.getvalue())
         for H, W in shapes:
-            x_spec = jax.ShapeDtypeStruct((batch, H, W, cfg.in_chn), jnp.float32)
+            x_spec = jax.ShapeDtypeStruct((batch, H, W, cfg.in_chn), x_dtype)
             exp = exporter(param_specs, x_spec)
             zf.writestr(f"programs/{H}x{W}.bin", exp.serialize())
         if tile is not None:
             ext = _tile_ext(tile["size"], tile["pad"], tile["pad_multiple"])
             x_spec = jax.ShapeDtypeStruct(
-                (tile["batch"], ext, ext, cfg.in_chn), jnp.float32)
+                (tile["batch"], ext, ext, cfg.in_chn), x_dtype)
             t_param_specs = param_specs
             if mesh_devices > 1:
                 from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -204,6 +222,7 @@ class ExportedModel:
         self._tile_program = tile_program
         self._placed = None  # mesh-replicated params, built on first tiled()
         self.shapes = sorted(programs)
+        self.io_dtype = manifest.get("io_dtype", "float32")
 
     @classmethod
     def load(cls, path):
@@ -239,14 +258,29 @@ class ExportedModel:
                 "re-export with a larger bucket or tile the input")
         return min(fits, key=lambda s: s[0] * s[1])
 
-    def __call__(self, x):
-        """Enhance ``(B, h, w, C)`` float32 in [0, 1]; returns same shape.
+    def _to_io(self, x):
+        """Convert host pixels to the artifact's program dtype (uint8
+        artifacts accept float [0,1] too — quantized with the save path's
+        exact math, so nothing is lost relative to writing a PNG)."""
+        x = np.asarray(x)
+        if self.io_dtype == "uint8":
+            if x.dtype == np.uint8:
+                return x
+            return np.round(np.clip(x, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return np.asarray(x, np.float32)
 
-        ``B`` must equal the exported batch; spatial dims reflect-pad up to
-        the smallest exported program that fits (the reference's own
-        128-padding contract, `inference_wavemamba.py:28-36`) and crop back.
+    def __call__(self, x):
+        """Enhance ``(B, h, w, C)``; returns the same spatial shape.
+
+        float32 artifacts take/return float32 in [0, 1]; uint8 artifacts
+        take uint8 (or float [0,1], quantized host-side) and return uint8
+        — the byte<->float conversion runs on the device, so only bytes
+        cross the host link. ``B`` must equal the exported batch; spatial
+        dims reflect-pad up to the smallest exported program that fits
+        (the reference's own 128-padding contract,
+        `inference_wavemamba.py:28-36`) and crop back.
         """
-        x = np.asarray(x, np.float32)
+        x = self._to_io(x)
         b, h, w, _ = x.shape
         if b != self.manifest["batch"]:
             raise ValueError(f"batch {b} != exported batch {self.manifest['batch']}")
@@ -266,6 +300,7 @@ class ExportedModel:
         from wavemamba_tpu.models.tiling import tiled_apply
 
         t = self.manifest["tile"]
+        x = self._to_io(x)
         n_mesh = self.manifest.get("mesh_devices", 1)
         if n_mesh > 1:
             import jax
@@ -286,14 +321,13 @@ class ExportedModel:
             placed = self._placed
 
             def fn(chunk):
-                xb = jax.device_put(
-                    jnp.asarray(np.asarray(chunk, np.float32)), split)
+                xb = jax.device_put(jnp.asarray(np.asarray(chunk)), split)
                 return self._tile_program.call(placed, xb)
         else:
             fn = lambda chunk: self._tile_program.call(  # noqa: E731
-                self._flat, np.asarray(chunk, np.float32))
+                self._flat, np.asarray(chunk))
         return np.asarray(tiled_apply(
-            fn, np.asarray(x, np.float32), tile_size=t["size"],
+            fn, x, tile_size=t["size"],
             tile_pad=t["pad"], pad_multiple=t["pad_multiple"],
             tile_batch=t["batch"]))
 
