@@ -64,22 +64,39 @@ def cmd_run(args):
     os.makedirs(args.output, exist_ok=True)
     paths = ([args.input] if os.path.isfile(args.input)
              else sorted(scandir(args.input, full_path=True)))
-    for path in paths:
+    def _prep(path):
         img = imread(path)  # BGR uint8
-        t0 = time.time()
-        apply = model.tiled if args.tiled else model
         if model.io_dtype == "uint8":
             # Bytes in, bytes out: BGR->RGB view only; the float conversion
             # and the save-path quantization both run on the device.
-            out = apply(img[..., ::-1][None])
-            sr = out[0][..., ::-1]
-        else:
-            out = apply(img2batch(img))
-            sr = batch2img(out)
-        dt = time.time() - t0
-        name = os.path.basename(path)
-        imwrite(sr, os.path.join(args.output, name))
-        print(f"{name}: {dt:.3f}s", flush=True)
+            return img[..., ::-1][None]
+        return img2batch(img)
+
+    def _save(path, out):
+        sr = out[0][..., ::-1] if model.io_dtype == "uint8" else batch2img(out)
+        imwrite(sr, os.path.join(args.output, os.path.basename(path)))
+
+    if args.tiled:
+        for path in paths:
+            t0 = time.time()
+            _save(path, model.tiled(_prep(path)))
+            print(f"{os.path.basename(path)}: {time.time()-t0:.3f}s", flush=True)
+        return
+    # Whole-frame serving is pipelined one frame deep: frame i+1 is decoded
+    # and dispatched before frame i's result is fetched/encoded, so device
+    # compute overlaps the host work and the result transfer
+    # (ExportedModel.dispatch).
+    pending = None  # (path, handle, t0)
+    for path in paths + [None]:
+        nxt = None
+        if path is not None:
+            t0 = time.time()
+            nxt = (path, model.dispatch(_prep(path)), t0)
+        if pending is not None:
+            p, handle, t0 = pending
+            _save(p, handle.fetch())
+            print(f"{os.path.basename(p)}: {time.time()-t0:.3f}s", flush=True)
+        pending = nxt
 
 
 def main(argv=None):

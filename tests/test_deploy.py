@@ -291,6 +291,23 @@ def test_uint8_io_matches_save_path_quantization(tmp_path):
     assert int(np.abs(got_t.astype(int) - want_t.astype(int)).max()) <= 1
 
 
+def test_dispatch_fetch_matches_call(tmp_path):
+    """ExportedModel.dispatch: two in-flight dispatches fetch the same
+    results as blocking calls (the pipelined serving loop's contract)."""
+    from wavemamba_tpu.deploy import export_model, load_exported
+
+    cfg, params = _tiny(tmp_path)
+    path = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(path), platforms=("cpu",))
+    model = load_exported(str(path))
+
+    rs = np.random.RandomState(5)
+    xs = [rs.rand(1, 20, 26, 3).astype(np.float32) for _ in range(2)]
+    handles = [model.dispatch(x) for x in xs]  # both in flight
+    for x, h in zip(xs, handles):
+        np.testing.assert_array_equal(h.fetch(), model(x))
+
+
 def test_export_cli_uint8_serves_folder(tmp_path):
     """export --io uint8 -> run: bytes-only serving through the CLI."""
     from wavemamba_tpu.train.checkpoint import save_network

@@ -280,6 +280,16 @@ class ExportedModel:
         (the reference's own 128-padding contract,
         `inference_wavemamba.py:28-36`) and crop back.
         """
+        return self.dispatch(x).fetch()
+
+    def dispatch(self, x):
+        """Like ``__call__`` but WITHOUT fetching: pads, enqueues the
+        program (JAX dispatch is async) and returns a handle whose
+        ``.fetch()`` yields the cropped numpy result. A serving loop that
+        dispatches frame i+1 before fetching frame i overlaps device
+        compute with the result transfer and the host's decode/encode work
+        (used by ``scripts/export_model.py run``; same overlap that takes
+        the official bench from 227 to 202 ms/frame, BENCH_NOTES.md)."""
         x = self._to_io(x)
         b, h, w, _ = x.shape
         if b != self.manifest["batch"]:
@@ -287,8 +297,7 @@ class ExportedModel:
         H, W = self._shape_for(h, w)
         if (h, w) != (H, W):
             x = _reflect_pad(x, H, W)
-        y = self._programs[(H, W)].call(self._flat, x)
-        return np.asarray(y)[:, :h, :w]
+        return _Pending(self._programs[(H, W)].call(self._flat, x), h, w)
 
     def tiled(self, x):
         """Enhance ``(1, h, w, C)`` of any size through the fixed-shape tile
@@ -330,6 +339,16 @@ class ExportedModel:
             fn, x, tile_size=t["size"],
             tile_pad=t["pad"], pad_multiple=t["pad_multiple"],
             tile_batch=t["batch"]))
+
+
+class _Pending:
+    """Handle for a dispatched-but-unfetched program call."""
+
+    def __init__(self, y, h, w):
+        self._y, self._h, self._w = y, h, w
+
+    def fetch(self):
+        return np.asarray(self._y)[:, : self._h, : self._w]
 
 
 def _reflect_pad(x, H, W):
