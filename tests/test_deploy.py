@@ -308,6 +308,32 @@ def test_dispatch_fetch_matches_call(tmp_path):
         np.testing.assert_array_equal(h.fetch(), model(x))
 
 
+def test_uint8_mesh_tile_program(tmp_path):
+    """uint8 I/O composes with the mesh-sharded tile program: bytes are
+    sharded over the 'data' axis and the result matches the single-device
+    uint8 tiled path exactly (same program, same quantization)."""
+    import jax
+
+    from wavemamba_tpu.deploy import export_model, load_exported
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    cfg, params = _tiny(tmp_path)
+    single, meshed = tmp_path / "s.wmx", tmp_path / "m.wmx"
+    tile = {"size": 16, "pad": 8, "batch": 4}
+    export_model(params, cfg, [(32, 32)], str(single), platforms=("cpu",),
+                 tile=tile, io_dtype="uint8")
+    export_model(params, cfg, [(32, 32)], str(meshed), platforms=("cpu",),
+                 tile=tile, mesh_devices=4, io_dtype="uint8")
+
+    x = np.random.RandomState(9).randint(0, 256, (1, 40, 56, 3), np.uint8)
+    got = load_exported(str(meshed)).tiled(x)
+    want = load_exported(str(single)).tiled(x)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_cli_uint8_serves_folder(tmp_path):
     """export --io uint8 -> run: bytes-only serving through the CLI."""
     from wavemamba_tpu.train.checkpoint import save_network
