@@ -24,7 +24,7 @@ from wavemamba_tpu.models.wavemamba import (
 VARIANTS = [(), ("ffn",), ("hfe",), ("ffn", "hfe")]
 
 
-def bench_variant(sites, iters=5):
+def bench_variant(sites, reps=3, K=10):
     cfg = WaveMambaConfig.fast(conv1x1_as_conv=sites)
     params = init_wavemamba(jax.random.PRNGKey(0), cfg)
 
@@ -36,11 +36,16 @@ def bench_variant(sites, iters=5):
     x = jnp.asarray(np.random.RandomState(0).rand(1, 1080, 1920, 3), jnp.float32)
     float(fwd(params, x))  # compile
     float(fwd(params, x))  # warmup
+    # Steady-state pipelined methodology (bench.py): K frames in flight,
+    # one fence — converges to device truth, so ~5 ms layout differences
+    # are visible above the ~25 ms tunnel RTT jitter of per-iter sync.
     ts = []
-    for _ in range(iters):
+    for _ in range(reps):
+        float(fwd(params, x))  # drain the queue
         t0 = time.perf_counter()
-        float(fwd(params, x))
-        ts.append(time.perf_counter() - t0)
+        fences = [fwd(params, x) for _ in range(K)]
+        float(fences[-1])
+        ts.append((time.perf_counter() - t0) / K)
     return float(np.median(ts))
 
 
