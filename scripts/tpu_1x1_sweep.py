@@ -9,7 +9,11 @@ re-expresses those sites as convs so the chain stays in one layout.
 Usage (tunnel rules: background, no timeout):
     python scripts/tpu_1x1_sweep.py > /tmp/sweep1x1.log 2>&1 &
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
