@@ -110,16 +110,42 @@ def main():
         times.append((time.perf_counter() - t0) / K)
     latency = float(np.median(times))
 
-    print(
-        json.dumps(
-            {
-                "metric": f"wavemamba_1080p_latency({mode})",
-                "value": round(latency, 5),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_1080P_S / latency, 3),
-            }
-        )
-    )
+    # Device-side truth (VERDICT r3 #10): capture a jax.profiler trace of a
+    # few iterations and report total device op time per iter alongside the
+    # host-measured value, so no future methodology change can shift the
+    # headline silently. Best-effort — skipped if tracing is unavailable.
+    device_ms = None
+    try:
+        import shutil
+
+        tracedir = "/tmp/wm_bench_trace"
+        shutil.rmtree(tracedir, ignore_errors=True)
+        n_trace = 3
+        with jax.profiler.trace(tracedir):
+            fences = [fwd(params, x)[1] for _ in range(n_trace)]
+            float(fences[-1])
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "scripts"))
+        import trace_topops
+
+        trace, _ = trace_topops.load_trace(tracedir)
+        total = sum(e.get("dur", 0) / 1e3
+                    for e in trace_topops.device_op_events(trace))
+        if total > 0:
+            device_ms = round(total / n_trace, 1)
+    except Exception as e:  # tracing is diagnostics, never fail the bench
+        print(f"# device trace unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    result = {
+        "metric": f"wavemamba_1080p_latency({mode})",
+        "value": round(latency, 5),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_1080P_S / latency, 3),
+    }
+    if device_ms is not None:
+        result["device_ms"] = device_ms
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -35,19 +35,22 @@ def bench_variant(sites, reps=3, K=10):
     @jax.jit
     def fwd(p, x):
         y = wavemamba_apply(p, cfg, x)
-        return jnp.sum(y[..., :1, :1, :])  # in-jit fence
+        # Return full y alongside the fence slice (exactly bench.py's
+        # program shape) so XLA cannot dead-code-eliminate tail-of-network
+        # work that doesn't feed the tiny reduction (ADVICE r3).
+        return y, jnp.sum(y[..., :1, :1, :])
 
     x = jnp.asarray(np.random.RandomState(0).rand(1, 1080, 1920, 3), jnp.float32)
-    float(fwd(params, x))  # compile
-    float(fwd(params, x))  # warmup
+    float(fwd(params, x)[1])  # compile
+    float(fwd(params, x)[1])  # warmup
     # Steady-state pipelined methodology (bench.py): K frames in flight,
     # one fence — converges to device truth, so ~5 ms layout differences
     # are visible above the ~25 ms tunnel RTT jitter of per-iter sync.
     ts = []
     for _ in range(reps):
-        float(fwd(params, x))  # drain the queue
+        float(fwd(params, x)[1])  # drain the queue
         t0 = time.perf_counter()
-        fences = [fwd(params, x) for _ in range(K)]
+        fences = [fwd(params, x)[1] for _ in range(K)]
         float(fences[-1])
         ts.append((time.perf_counter() - t0) / K)
     return float(np.median(ts))

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wavemamba_tpu.ops import conv_fused as cf
+from wavemamba_tpu.experimental import conv_fused as cf
 from wavemamba_tpu.ops.nn import conv2d, init_conv2d, silu
 
 

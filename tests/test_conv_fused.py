@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from wavemamba_tpu.ops import conv_fused as cf
+from wavemamba_tpu.experimental import conv_fused as cf
 from wavemamba_tpu.ops.nn import conv2d, gelu, init_conv2d, silu
 
 

@@ -1,4 +1,12 @@
-"""Fused spatial conv-chain Pallas kernels.
+"""Fused spatial conv-chain Pallas kernels — MEASURED NEGATIVE RESULT.
+
+QUARANTINED (round 4): the round-3 on-chip sweep (BENCH_NOTES.md "fused
+conv-chain kernels ON CHIP") measured these kernels at best at parity and
+usually 0.3-1.5 ms SLOWER per chain than XLA; the full 1080p model is
+231.5 ms fused vs 216.3 ms XLA. XLA's conv fusions + layout assignment
+win on this op mix. Kept under `experimental/` (reachable only via
+``WaveMambaConfig(conv_impl='fused')``, never default) as the working
+artifact behind that negative result.
 
 Round-2 measurement (BENCH_NOTES.md "1x1-conv lowering"): XLA's TPU conv
 path costs a FIXED ~0.7-1 ms per call at 540p regardless of channel width,

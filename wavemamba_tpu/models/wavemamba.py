@@ -235,7 +235,7 @@ def ss2d_apply(p, cfg: WaveMambaConfig, x):
     xz = linear(p["in_proj"], x)
     xx, z = xz[..., :d], xz[..., d:]
     if cfg.conv_impl == "fused" and cfg.d_conv == 3:
-        from wavemamba_tpu.ops.conv_fused import dw_act
+        from wavemamba_tpu.experimental.conv_fused import dw_act
 
         xx = dw_act(p["conv2d"], xx, "silu")
     else:
@@ -333,7 +333,7 @@ def init_ffn(key, c, expand=2):
 
 def ffn_apply(p, x, fuse=False, as_conv_1x1=False):
     if fuse:
-        from wavemamba_tpu.ops.conv_fused import ffn_chain
+        from wavemamba_tpu.experimental.conv_fused import ffn_chain
 
         return ffn_chain(p, x)
     dw = p["conv2"]["w"].shape[-1]
@@ -367,7 +367,7 @@ def lfss_block_apply(p, cfg: WaveMambaConfig, x):
     x = x * p["skip_scale"].astype(x.dtype) + ss2d_apply(p["self_attention"], cfg, y)
     if cfg.conv_impl == "fused":
         # whole second half-block (LN + ffn + scaled residual) in ONE kernel
-        from wavemamba_tpu.ops.conv_fused import lfss_ffn_block
+        from wavemamba_tpu.experimental.conv_fused import lfss_ffn_block
 
         return lfss_ffn_block(p["ln_2"], p["conv_blk"], p["skip_scale2"], x)
     x = x * p["skip_scale2"].astype(x.dtype) + ffn_apply(
@@ -416,7 +416,7 @@ def init_paconv(key, nf):
 
 def paconv_apply(p, x, fuse=False, as_conv_1x1=False):
     if fuse:
-        from wavemamba_tpu.ops.conv_fused import paconv_chain
+        from wavemamba_tpu.experimental.conv_fused import paconv_chain
 
         return paconv_chain(p, x)
     y = jax.nn.sigmoid(conv2d(p["k2"], x, as_conv=as_conv_1x1))
@@ -459,7 +459,7 @@ def cmt_attention_apply(p, x, perc, num_heads=1, fuse=False, ln=None,
     b, h, w, c = x.shape
     ch = c // num_heads
     if fuse:
-        from wavemamba_tpu.ops.conv_fused import qkv_chain
+        from wavemamba_tpu.experimental.conv_fused import qkv_chain
 
         qkv = qkv_chain(p, x, ln=ln)  # ln folds the block's norm1 in
     else:
@@ -497,7 +497,7 @@ def init_feed_forward(key, c):
 def feed_forward_apply(p, x, perc, fuse=False, ln=None, as_conv_1x1=False):
     c = x.shape[-1]
     if fuse:
-        from wavemamba_tpu.ops.conv_fused import ff_in_chain, ff_out_chain
+        from wavemamba_tpu.experimental.conv_fused import ff_in_chain, ff_out_chain
 
         y = ff_in_chain(p["project_in"], x, ln=ln)
         y = matching_transformation_apply(p["matching_transformation"], y, perc, fuse=True)
@@ -522,7 +522,7 @@ def init_feed_forward_restormer(key, c, expand=1):
 
 def feed_forward_restormer_apply(p, x, fuse=False, ln=None, residual=False):
     if fuse:
-        from wavemamba_tpu.ops.conv_fused import restormer_chain
+        from wavemamba_tpu.experimental.conv_fused import restormer_chain
 
         return restormer_chain(p, x, ln=ln, residual=residual)
     y = conv2d(p["project_in"], x)
@@ -635,7 +635,7 @@ def down_frg_apply(p, cfg: WaveMambaConfig, x, x_d):
     ll, hl, lh, hh = haar(x)
     ll_in = jnp.concatenate([ll, x_d], axis=-1)
     if cfg.conv_impl == "fused":
-        from wavemamba_tpu.ops.conv_fused import dense3x3
+        from wavemamba_tpu.experimental.conv_fused import dense3x3
 
         ll = dense3x3(p["l_conv"], ll_in)
     else:
@@ -676,7 +676,7 @@ def up_frg_apply(p, cfg: WaveMambaConfig, x_l, x_h):
     for blk in p["h_blk"]:
         x_h = hfe(blk, x_h, x_l)
     if cfg.conv_impl == "fused":
-        from wavemamba_tpu.ops.conv_fused import dense3x3
+        from wavemamba_tpu.experimental.conv_fused import dense3x3
 
         x_h = dense3x3(p["h_out_conv"], x_h)
     else:
@@ -737,7 +737,7 @@ def unet_apply(p, cfg: WaveMambaConfig, x):
         d2 = _ps_down(p["ps_down2"], x, 4)
         d3 = _ps_down(p["ps_down3"], x, 8)
     if cfg.conv_impl == "fused":
-        from wavemamba_tpu.ops.conv_fused import dense3x3
+        from wavemamba_tpu.experimental.conv_fused import dense3x3
 
         x1 = dense3x3(p["conv_01"], img.astype(x.dtype))
     else:
@@ -749,7 +749,7 @@ def unet_apply(p, cfg: WaveMambaConfig, x):
     x_l = up_frg_apply(p["up_group2"], cfg, x_l, xh2)
     x_l = up_frg_apply(p["up_group1"], cfg, x_l, xh1)
     if cfg.conv_impl == "fused":
-        from wavemamba_tpu.ops.conv_fused import dense3x3
+        from wavemamba_tpu.experimental.conv_fused import dense3x3
 
         return dense3x3(p["last"], x_l) + img
     return conv2d(p["last"], x_l, padding=1) + img
