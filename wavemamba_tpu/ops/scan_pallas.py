@@ -544,13 +544,158 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     y1_ref[0] = permute(P, y1).astype(y1_ref.dtype)
 
 
+# SSD-form scan core (round-4 experiment, VERDICT r3 #1): the same
+# recurrence evaluated via the factorized within-segment form
+#
+#   h_t = G_t * (H_seg + cums_t),   G_t = exp(A * clocal_t),
+#   cums_t = sum_{s<=t in segment} b_s * exp(-A * clocal_s)
+#
+# where clocal is the segment-local inclusive cumsum of delta. This is the
+# chunked-SSD decomposition specialized to a per-(n,d) diagonal A (the S6
+# parametrization WaveMamba uses): the within-segment recurrence becomes a
+# plain prefix SUM of rescaled inputs, removing pass-1's 3-op transition
+# chain and pass-2's 2-op state replay in favor of 1 cumsum add + the
+# G/Gi rescales. Op budget per (T, N, 2D) element: ~8.3 mul/adds + 2 exp
+# vs the two-pass core's ~11.25 + 1 exp (analysis in BENCH_NOTES r4).
+#
+# NUMERICS: exp(-A*clocal) GROWS along a segment (A<0); the early-s
+# contributions it scales up are scaled back by G_t, so the f32 rounding
+# this costs lands only on terms that are physically decayed by the same
+# factor (the standard chunked-SSD argument). The hard limit is overflow:
+# max |A| * sum(delta over a segment) must stay < ~88 (f32 exp range).
+# With S=8 and the S4D init (|A|<=16) that bounds mean delta at ~0.69 per
+# step — checked against trained checkpoints before enabling. Exactness
+# vs the two-pass kernel is CI-tested; fidelity on trained weights gates
+# any default switch.
+
+
+def _fused_kernel_ssd(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
+                      a2_ref, dsk2_ref, y0_ref, y1_ref, *rest,
+                      sub, nc, dt_rank, d_state, with_carries=False):
+    if with_carries:
+        cr_ref, h_ref = rest
+    else:
+        (h_ref,) = rest
+        cr_ref = None
+    c_idx = pl.program_id(1)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    if cr_ref is not None:
+        cr_ref[0, 0] = h_ref[...]
+
+    f32 = jnp.float32
+
+    def permute(P, v):
+        if v.dtype == jnp.bfloat16:
+            return jax.lax.dot_general(
+                P.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return jax.lax.dot_general(
+            P, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+
+    xf = xf_ref[0].astype(f32)  # (T, D)
+    P = perm_ref[...]
+    xr = permute(P, xr_ref[0]).astype(f32)
+    T, D = xf.shape
+    N = d_state
+    R = dt_rank
+    A2 = a2_ref[...]  # (N, 2D)
+    dsk2 = dsk2_ref[...]  # (1, 2D)
+
+    def project(x, k):
+        x_dbl = jnp.dot(x, wx_ref[k], preferred_element_type=f32)
+        da = jax.nn.softplus(
+            jnp.dot(x_dbl[:, :R], dtw_ref[k], preferred_element_type=f32)
+            + bias_ref[k]
+        )
+        return da, x_dbl[:, R:R + N], x_dbl[:, R + N:]
+
+    daf, Bf, Cf = project(xf, 0)
+    dar, Br, Cr = project(xr, 1)
+
+    u = jnp.concatenate([xf, xr], axis=1)  # (T, 2D)
+    da = jnp.concatenate([daf, dar], axis=1)  # (T, 2D)
+    w = da * u  # (T, 2D)
+
+    S = sub
+    Rr = T // S
+
+    # Segment-local inclusive cumsum of delta — (T, 2D) work, negligible.
+    da3 = da.reshape(Rr, S, 2 * D)
+    run = da3[:, 0]
+    cl = [run]
+    for i in range(1, S):
+        run = run + da3[:, i]
+        cl.append(run)
+    clocal = jnp.stack(cl, axis=1).reshape(T, 2 * D)
+
+    m = clocal[:, None, :] * A2[None]  # (T, N, 2D), <= 0
+    G = jnp.exp(m)
+    Gi = jnp.exp(-m)  # grows within a segment; see numerics note above
+
+    Bc = jnp.concatenate(
+        [jnp.broadcast_to(Bf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Br[:, :, None], (T, N, D))], axis=2)
+    Cc = jnp.concatenate(
+        [jnp.broadcast_to(Cf[:, :, None], (T, N, D)),
+         jnp.broadcast_to(Cr[:, :, None], (T, N, D))], axis=2)
+    bhat = (w[:, None, :] * Bc) * Gi  # (T, N, 2D)
+
+    # Within-segment prefix sum (1 add/element, one S-loop total).
+    bh4 = bhat.reshape(Rr, S, N, 2 * D)
+    G4 = G.reshape(Rr, S, N, 2 * D)
+    C4 = Cc.reshape(Rr, S, N, 2 * D)
+    acc = bh4[:, 0]
+    cums = [acc]
+    for i in range(1, S):
+        acc = acc + bh4[:, i]
+        cums.append(acc)
+
+    # Cross-segment combine (identical Hillis-Steele as the two-pass core).
+    sa = G4[:, S - 1]  # segment transition a
+    sb = G4[:, S - 1] * cums[S - 1]  # segment transition b
+    s = 1
+    while s < Rr:
+        ones = jnp.ones((s, N, 2 * D), sa.dtype)
+        zeros = jnp.zeros((s, N, 2 * D), sb.dtype)
+        sb = sb + sa * jnp.concatenate([zeros, sb[:-s]], axis=0)
+        sa = sa * jnp.concatenate([ones, sa[:-s]], axis=0)
+        s *= 2
+
+    h0 = h_ref[...]  # (N, 2D)
+    ex_a = jnp.concatenate([jnp.ones((1, N, 2 * D), sa.dtype), sa[:-1]], axis=0)
+    ex_b = jnp.concatenate([jnp.zeros((1, N, 2 * D), sb.dtype), sb[:-1]], axis=0)
+    H = ex_a * h0[None] + ex_b  # segment-entry states (Rr, N, 2D)
+    h_ref[...] = sa[Rr - 1] * h0 + sb[Rr - 1]
+
+    # Emission: h_t = G_t * (H + cums_t); y_t = sum_n C_t h_t.
+    ys = []
+    for i in range(S):
+        hi = G4[:, i] * (H + cums[i])
+        ys.append(jnp.sum(hi * C4[:, i], axis=1))  # (Rr, 2D)
+    y = jnp.stack(ys, axis=0).transpose(1, 0, 2).reshape(T, 2 * D)
+    y = y + dsk2 * u
+
+    y0_ref[0] = y[:, :D].astype(y0_ref.dtype)
+    y1 = y[:, D:].astype(y1_ref.dtype) if y1_ref.dtype == jnp.bfloat16 else y[:, D:]
+    y1_ref[0] = permute(P, y1).astype(y1_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "sub", "interpret", "return_carries", "out_dtype"),
+    static_argnames=("chunk", "sub", "interpret", "return_carries", "out_dtype",
+                     "variant"),
 )
 def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
                     interpret=None, return_carries=False,
-                    out_dtype=None):
+                    out_dtype=None, variant="twopass"):
     """Fused projection+scan for ONE direction pair.
 
     x_tokens: (B, L, D) token stream (row-major or transposed, per pair).
@@ -611,8 +756,9 @@ def ss2d_scan_fused(x_tokens, wx, dtw, bias, A, dsk, chunk=512, sub=8,
         out_specs = out_specs + (cr_spec,)
         out_shape = out_shape + (jax.ShapeDtypeStruct((B, nc, N, 2 * D), f32),)
 
+    kernel_fn = {"twopass": _fused_kernel, "ssd": _fused_kernel_ssd}[variant]
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, sub=sub, nc=nc, dt_rank=Rk, d_state=N,
+        functools.partial(kernel_fn, sub=sub, nc=nc, dt_rank=Rk, d_state=N,
                           with_carries=return_carries),
         grid=grid,
         in_specs=[xf_spec, xr_spec, perm_spec, full(wx_f), full(dtw_f),
