@@ -70,3 +70,41 @@ def test_inference_cli_compiles_once_per_bucket(tmp_path, capsys):
     line = [ln for ln in out.splitlines() if ln.startswith("jit compiles:")]
     assert line, out
     assert line[0].startswith("jit compiles: 2 (buckets: 2)"), line[0]
+
+
+def test_runner_test_compiles_once_per_bucket(tmp_path):
+    """The runner/test-pipeline path shares the bucket ladder (`val:
+    bucket: true`): a mixed-size val folder jits once per BUCKET, not
+    once per distinct padded shape (VERDICT r3 #6)."""
+    import numpy as np
+
+    from wavemamba_tpu.runner import RestorationModel
+
+    opt = {
+        "name": "unit",
+        "model_type": "FeMaSRModel",
+        "manual_seed": 0,
+        "is_train": False,
+        "network_g": {"type": "WaveMamba", "in_chn": 3, "wf": 8,
+                      "n_l_blocks": [1, 1, 1], "n_h_blocks": [1, 1, 1],
+                      "ffn_scale": 2.0, "scan_chunk": 16},
+        "path": {"visualization": str(tmp_path / "vis")},
+        "val": {"bucket": True},
+    }
+    model = RestorationModel(opt)
+    rs = np.random.RandomState(0)
+    outs = []
+    for h, w in [(40, 48), (100, 90), (200, 150)]:  # 2 buckets (128^2, 256^2)
+        out = model.test(rs.rand(1, h, w, 3).astype(np.float32))
+        assert out.shape == (1, h, w, 3)
+        outs.append(out)
+    assert len(model._eval_fns) == 2, list(model._eval_fns)
+    assert model._bucket_ladder.buckets == [(128, 128), (256, 256)]
+
+    # Default (no `bucket` key): exact per-image padding, one jit per shape.
+    opt2 = dict(opt, val={})
+    model2 = RestorationModel(opt2)
+    for h, w in [(40, 48), (100, 90)]:
+        model2.test(rs.rand(1, h, w, 3).astype(np.float32))
+    assert model2._bucket_ladder is None
+    assert len(model2._eval_fns) == 2

@@ -544,8 +544,14 @@ def _fused_kernel(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     y1_ref[0] = permute(P, y1).astype(y1_ref.dtype)
 
 
-# SSD-form scan core (round-4 experiment, VERDICT r3 #1): the same
-# recurrence evaluated via the factorized within-segment form
+# SSD-form scan core (round-4 experiment, VERDICT r3 #1) — MEASURED
+# NEGATIVE RESULT, kept non-default as the record (BENCH_NOTES.md
+# "Round 4: chunked-SSD"): loses 201.5 -> 218.6 ms on the weighted scan
+# budget because the factorization's extra live (T, N, 2D) arrays force
+# a half-size chunk under the 16 MB scoped-VMEM limit, and Mamba-2's
+# true MXU contraction of N is structurally unavailable for S6's
+# per-(n,d) decay. The same recurrence evaluated via the factorized
+# within-segment form
 #
 #   h_t = G_t * (H_seg + cums_t),   G_t = exp(A * clocal_t),
 #   cums_t = sum_{s<=t in segment} b_s * exp(-A * clocal_s)
@@ -638,7 +644,6 @@ def _fused_kernel_ssd(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
 
     m = clocal[:, None, :] * A2[None]  # (T, N, 2D), <= 0
     G = jnp.exp(m)
-    Gi = jnp.exp(-m)  # grows within a segment; see numerics note above
 
     Bc = jnp.concatenate(
         [jnp.broadcast_to(Bf[:, :, None], (T, N, D)),
@@ -646,7 +651,11 @@ def _fused_kernel_ssd(xf_ref, xr_ref, perm_ref, wx_ref, dtw_ref, bias_ref,
     Cc = jnp.concatenate(
         [jnp.broadcast_to(Cf[:, :, None], (T, N, D)),
          jnp.broadcast_to(Cr[:, :, None], (T, N, D))], axis=2)
-    bhat = (w[:, None, :] * Bc) * Gi  # (T, N, 2D)
+    # 1/G instead of a second exp(-m): exp dominates the kernel's VPU op
+    # budget (the r3 two-pass anatomy), and a divide is ~1 VPU op. Same
+    # value and the same overflow bound (G underflows exactly where
+    # exp(-m) overflowed); also one fewer live (T, N, 2D) array in VMEM.
+    bhat = (w[:, None, :] * Bc) / G  # (T, N, 2D)
 
     # Within-segment prefix sum (1 add/element, one S-loop total).
     bh4 = bhat.reshape(Rr, S, N, 2 * D)

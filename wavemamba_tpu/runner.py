@@ -90,6 +90,17 @@ class RestorationModel:
             self.params = None  # lives inside state now (donated per step)
 
         self._eval_fns = {}
+        # Static-shape buckets for mixed-size val/test folders (`val:
+        # bucket: true`): pad up to a shared 128-multiple bucket so a
+        # folder with k size clusters compiles k times, not once per
+        # distinct shape. Off by default — bucket padding perturbs
+        # borders ~1e-3 (global scan), and training-time validation
+        # stays on the reference's exact per-image padding.
+        self._bucket_ladder = None
+        if opt.get("val", {}).get("bucket"):
+            from wavemamba_tpu.models.buckets import BucketLadder
+
+            self._bucket_ladder = BucketLadder()
         self.best_metric_results = {}
 
     # ------------------------------------------------------------------ train
@@ -145,7 +156,13 @@ class RestorationModel:
                 tile_pad=(tile or {}).get("tile_pad", 16),
                 pad_multiple=pad_multiple,
             )
-        x, oh, ow = pad_to_multiple(jnp.asarray(lq_np), pad_multiple)
+        if self._bucket_ladder is not None:
+            from wavemamba_tpu.models.buckets import pad_to_shape
+
+            H, W = self._bucket_ladder.shape_for(h, w)
+            x, oh, ow = jnp.asarray(pad_to_shape(np.asarray(lq_np), H, W)), h, w
+        else:
+            x, oh, ow = pad_to_multiple(jnp.asarray(lq_np), pad_multiple)
         out = self._eval_fn(tuple(x.shape))(params, x)
         if isinstance(out, (tuple, list)):  # two-output nets (UHDModel): keep
             out = out[0]  # the full-res output (`uhdfour_model.py:200`)
