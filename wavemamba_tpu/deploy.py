@@ -226,6 +226,7 @@ class ExportedModel:
 
     @classmethod
     def load(cls, path):
+        import jax
         import jax.export
 
         with zipfile.ZipFile(path, "r") as zf:
@@ -234,6 +235,17 @@ class ExportedModel:
                 raise ValueError(
                     f"artifact format {manifest['format_version']} is newer "
                     f"than this loader ({FORMAT_VERSION})")
+            built_with = manifest.get("jax_version")
+            if built_with and built_with != jax.__version__:
+                # StableHLO keeps old artifacts loadable on newer jax, but
+                # record the drift — deserialize failures or numeric
+                # deviations should be attributable at a glance.
+                import logging
+
+                logging.getLogger("wavemamba_tpu").warning(
+                    "%s was exported with jax %s; this host runs jax %s "
+                    "(StableHLO is forward-compatible, but re-export to "
+                    "clear this warning)", path, built_with, jax.__version__)
             with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
                 flat = tuple(npz[f"p{i:06d}"] for i in range(manifest["n_params"]))
             want = manifest.get("params_sha256")
@@ -282,6 +294,21 @@ class ExportedModel:
         """
         return self.dispatch(x).fetch()
 
+    def _check_platform(self):
+        """TPU-pinned artifacts (``allow_custom_calls``) carry Mosaic
+        custom calls that only a TPU backend can execute; fail up front
+        with the remedy instead of a Mosaic stack trace mid-call."""
+        import jax
+
+        plats = self.manifest.get("platforms") or []
+        backend = jax.default_backend()
+        if plats and backend not in plats:
+            raise ValueError(
+                f"artifact was lowered for platform(s) {plats}; this host's "
+                f"jax backend is '{backend}'. Serve it on a matching device, "
+                "or re-export without allow_custom_calls for a portable "
+                "(cpu+tpu) artifact.")
+
     def dispatch(self, x):
         """Like ``__call__`` but WITHOUT fetching: pads, enqueues the
         program (JAX dispatch is async) and returns a handle whose
@@ -290,6 +317,7 @@ class ExportedModel:
         compute with the result transfer and the host's decode/encode work
         (used by ``scripts/export_model.py run``; same overlap that takes
         the official bench from 227 to 202 ms/frame, BENCH_NOTES.md)."""
+        self._check_platform()
         x = self._to_io(x)
         b, h, w, _ = x.shape
         if b != self.manifest["batch"]:
@@ -306,6 +334,7 @@ class ExportedModel:
         trade fidelity for unbounded size (BENCH_NOTES.md)."""
         if self._tile_program is None:
             raise ValueError("artifact was exported without a tile program")
+        self._check_platform()
         from wavemamba_tpu.models.tiling import tiled_apply
 
         t = self.manifest["tile"]
