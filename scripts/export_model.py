@@ -34,6 +34,12 @@ def cmd_export(args):
     from wavemamba_tpu.train.checkpoint import load_network
 
     mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
+    if args.fast and args.target == "tpu":
+        # Build the TPU preset regardless of the build host's backend —
+        # the AOT export case (CPU host, TPU artifact). fast() alone would
+        # sniff the CPU backend and silently degrade to the portable
+        # fast_xla preset.
+        mk = WaveMambaConfig.fast_tpu
     cfg = mk(wf=args.wf, n_l_blocks=tuple(args.n_l_blocks),
              n_h_blocks=tuple(args.n_h_blocks))
     params = load_network(args.weight)
@@ -121,6 +127,11 @@ def main(argv=None):
                         "serving path; 0 = whole-frame programs only)")
     p.add_argument("--tile_pad", type=int, default=16)
     p.add_argument("--tile_batch", type=int, default=8)
+    p.add_argument("--target", choices=["auto", "tpu"], default="auto",
+                   help="with --fast: 'tpu' builds the TPU preset even on "
+                        "a CPU build host (pair with --allow_custom_calls "
+                        "for the Pallas-kernel artifact); 'auto' follows "
+                        "the host backend")
     p.add_argument("--io", choices=["float32", "uint8"], default="float32",
                    help="uint8 bakes the byte<->float conversion into the "
                         "program: 8x less host<->device pixel traffic, "

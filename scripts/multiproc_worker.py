@@ -138,6 +138,57 @@ def main(coordinator: str, num_procs: int, pid: int) -> None:
                      + [20.0 + r for r in range(num_procs)])
     np.testing.assert_allclose(avg["psnr"], expect, rtol=1e-12)
 
+    # --- 5. cache_on_device fallback branch: the device-resident loader
+    # must REFUSE multi-process (pipelines/train.py then falls back to the
+    # threaded host loader — the branch the r3 verdict asked to execute).
+    from wavemamba_tpu.data.device_cache import DeviceCachedLoader
+
+    class _TrainDS:
+        opt = {"phase": "train", "gt_size": 16, "scale": 1}
+
+        def __len__(self):
+            return 4
+
+    try:
+        DeviceCachedLoader(_TrainDS(), batch_size=n_global, mesh=mesh)
+    except ValueError as e:
+        assert "single-process" in str(e), e
+        print(f"[{pid}] device_cache multi-process fallback ok", flush=True)
+    else:
+        raise AssertionError("DeviceCachedLoader accepted a multi-process run")
+
+    # --- 6. 10-step training trajectory (VERDICT r3 #7): the parent test
+    # re-runs the SAME batches single-process on its own 8-device mesh and
+    # asserts loss parity step by step. Batch row order must match
+    # device_prefetch's assembly: process p owns rows [p*local_b, ...).
+    import time
+
+    params2 = init_wavemamba(jax.random.PRNGKey(0), cfg)
+    state2 = replicate(mesh, create_train_state(params2, tcfg))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params2))
+    rs42 = np.random.RandomState(42)
+    losses10, step_ts, host_ts = [], [], []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        lq_g = rs42.rand(n_global, 16, 16, 3).astype(np.float32)
+        gt_g = rs42.rand(n_global, 16, 16, 3).astype(np.float32)
+        local = {"lq": lq_g[pid * local_b:(pid + 1) * local_b],
+                 "gt": gt_g[pid * local_b:(pid + 1) * local_b]}
+        b = next(iter(device_prefetch(iter([local]), sharding)))
+        t1 = time.perf_counter()
+        state2, m2 = step(state2, b["lq"], b["gt"])
+        losses10.append(float(m2["total"]))  # host sync fences the step
+        step_ts.append(time.perf_counter() - t1)
+        host_ts.append(t1 - t0)
+    assert all(np.isfinite(losses10)), losses10
+    # Overhead-structure datapoints for BENCH_NOTES (grad psum moves the
+    # full f32 grad tree across the process boundary every step).
+    print(f"[{pid}] TRAIN10 psum_mb={n_params * 4 / 2**20:.2f} "
+          f"host_ms={np.median(host_ts) * 1e3:.1f} "
+          f"step_ms={np.median(step_ts) * 1e3:.1f}", flush=True)
+    print(f"[{pid}] LOSSES10 " + " ".join(f"{l:.6f}" for l in losses10),
+          flush=True)
+
     print(f"MULTIPROC WORKER {pid} OK loss={loss:.5f}", flush=True)
 
 

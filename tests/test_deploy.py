@@ -444,3 +444,31 @@ def test_loader_warns_on_jax_version_drift(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="wavemamba_tpu"):
         load_exported(str(path))
     assert not [r for r in caplog.records if "exported with jax" in r.message]
+
+
+def test_export_cli_target_tpu_builds_pinned_fast_preset(tmp_path):
+    """--fast --target tpu on a CPU build host must bake the TPU fast()
+    preset (pallas_fused + bf16) instead of sniffing the CPU backend and
+    silently degrading to fast_xla (the 4K AOT-export path, VERDICT r3 #5)."""
+    import json
+    import zipfile
+
+    from wavemamba_tpu.train.checkpoint import save_network
+
+    cfg, params = _tiny(tmp_path)
+    models_dir = tmp_path / "models"
+    save_network(params, str(models_dir), "net_g", 1)
+
+    cli = _export_cli()
+    art = tmp_path / "pinned.wmx"
+    cli(["export", "-w", str(models_dir / "net_g_1"), "-o", str(art),
+         "--shapes", "32x32", "--fast", "--target", "tpu",
+         "--allow_custom_calls", "--io", "uint8",
+         "--wf", "8", "--n_l_blocks", "1", "1", "1",
+         "--n_h_blocks", "1", "1", "1"])
+    with zipfile.ZipFile(str(art)) as zf:
+        manifest = json.loads(zf.read("manifest.json"))
+    assert manifest["config"]["scan_impl"] == "pallas_fused"
+    assert manifest["config"]["compute_dtype"] == "bfloat16"
+    assert manifest["platforms"] == ["tpu"]
+    assert manifest["io_dtype"] == "uint8"

@@ -113,6 +113,14 @@ class WaveMambaConfig:
             backend = "cpu"
         if backend in ("cpu", "gpu", "cuda", "rocm"):
             return cls.fast_xla(**kw)
+        return cls.fast_tpu(**kw)
+
+    @classmethod
+    def fast_tpu(cls, **kw):
+        """The TPU fast() preset WITHOUT the backend sniff: what `fast()`
+        resolves to on a TPU backend. Use directly when building TPU
+        artifacts on a CPU host (deploy.py AOT export with
+        ``allow_custom_calls`` — Mosaic lowering is host-side)."""
         kw.setdefault("scan_impl", "pallas_fused")
         kw.setdefault("compute_dtype", "bfloat16")
         # y streamed bf16 (state math stays f32): identical fidelity to f32

@@ -891,7 +891,6 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
 
     # Forward-state recompute + gradient recurrence, direction-uniform.
     h_all = _linscan_values(a_all, b_all, h_in, sub)  # (T, N, 2D)
-    h_prev = jnp.concatenate([h_in[None], h_all[:-1]], axis=0)
     # g_t = a_{t+1} g_{t+1} + q_t; the carry from the later processing chunk
     # arrives pre-multiplied by its own a (hence the trailing ones row).
     ones1 = jnp.ones((1, N, 2 * D), a_all.dtype)
@@ -899,12 +898,16 @@ def _fused_bwd_kernel(xf_ref, xr_ref, dyf_ref, dyr_ref, hin_ref, perm_ref,
     g = _linscan_values(c_shift, q, gcar_ref[...], sub, reverse=True)
     gcar_ref[...] = a_all[0] * g[0]
 
-    common = g * h_prev * a_all  # (T, N, 2D)
+    gdau = g * dau[:, None, :]  # (T, N, 2D)
+    # g * h_prev * a_all without materializing the shifted h_prev:
+    # a_t h_{t-1} = h_t - b_t and g*b = g*dau*Bc = gdau*Bc (gdau is needed
+    # for dB anyway) — one fewer live (T, N, 2D) array in VMEM, which is
+    # what caps the training chunk size.
+    common = g * h_all - gdau * Bc  # (T, N, 2D)
     gB = jnp.sum(g * Bc, axis=1)  # (T, 2D)
     dda = jnp.sum(common * A2[None], axis=1) + gB * u  # (T, 2D)
     ddr = dda * sig  # grad wrt z (= dt_lin and bias)
     du_scan = da * gB + dsk2 * dy2  # (T, 2D) scan-input path
-    gdau = g * dau[:, None, :]  # (T, N, 2D)
     hdy = dy2[:, None, :] * h_all  # (T, N, 2D)
     dB_f = jnp.sum(gdau[:, :, :D], axis=2)  # (T, N)
     dB_r = jnp.sum(gdau[:, :, D:], axis=2)
