@@ -64,7 +64,7 @@ def cmd_run(args):
     from wavemamba_tpu.utils.img_util import batch2img, img2batch, imread, imwrite
     from wavemamba_tpu.utils.misc import scandir
 
-    model = load_exported(args.artifact)
+    model = load_exported(args.artifact, compile_cache=args.compile_cache)
     print(f"artifact: shapes {model.shapes}, platforms "
           f"{model.manifest['platforms']}")
     os.makedirs(args.output, exist_ok=True)
@@ -152,6 +152,11 @@ def main(argv=None):
     p.add_argument("--tiled", action="store_true",
                    help="use the artifact's tile program (frames larger "
                         "than every whole-frame bucket)")
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: the "
+                        "first process pays each program's compile, every "
+                        "later process loads the binary from DIR (the 4K "
+                        "bucket compile is ~163 s — see BENCH_NOTES.md)")
     p.set_defaults(fn=cmd_run)
 
     args = parser.parse_args(argv)

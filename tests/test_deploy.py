@@ -446,6 +446,53 @@ def test_loader_warns_on_jax_version_drift(tmp_path, caplog):
     assert not [r for r in caplog.records if "exported with jax" in r.message]
 
 
+def test_compile_cache_survives_process_restart(tmp_path):
+    """load(compile_cache=DIR): the first serving process writes each
+    program's compiled executable into DIR; a later process serving the
+    same artifact loads the binary instead of recompiling (the 4K bucket
+    compile is ~163 s — the cache is how restarts amortize it). Runs both
+    servers as fresh interpreters so the cache, not this process's jit
+    cache, is what carries the executable across."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from wavemamba_tpu.deploy import export_model
+
+    cfg, params = _tiny(tmp_path)
+    art = tmp_path / "m.wmx"
+    export_model(params, cfg, [(32, 32)], str(art), platforms=("cpu",))
+    cache = tmp_path / "xla_cache"
+
+    script = textwrap.dedent("""
+        import sys
+        import numpy as np
+        from wavemamba_tpu.deploy import load_exported
+        model = load_exported(sys.argv[1], compile_cache=sys.argv[2])
+        x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+        y = model(x)
+        assert y.shape == x.shape and np.isfinite(y).all()
+        print("SERVE OK")
+    """)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+
+    def serve():
+        return subprocess.run(
+            [sys.executable, "-c", script, str(art), str(cache)],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+
+    r1 = serve()
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    entries = sorted(os.listdir(cache))
+    assert entries, "first serve wrote nothing into the compilation cache"
+
+    r2 = serve()
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    # A hit compiles nothing, so the restarted process adds no entries.
+    assert sorted(os.listdir(cache)) == entries
+
+
 def test_export_cli_target_tpu_builds_pinned_fast_preset(tmp_path):
     """--fast --target tpu on a CPU build host must bake the TPU fast()
     preset (pallas_fused + bf16) instead of sniffing the CPU backend and

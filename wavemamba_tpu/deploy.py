@@ -50,6 +50,32 @@ FORMAT_VERSION = 1
 _PORTABLE_SCAN = "par"
 
 
+def enable_compilation_cache(cache_dir):
+    """Point jax's persistent compilation cache at ``cache_dir``.
+
+    A ``.wmx`` artifact amortizes EXPORT (tracing + StableHLO lowering),
+    but each serving process still pays one XLA compile per program on
+    its first call (163 s for the 4K bucket through this sandbox's
+    tunnel, BENCH_NOTES.md). The persistent cache keys the compiled
+    executable on the (deserialized) HLO + compile options + backend, so
+    every process after the first loads the binary from ``cache_dir``
+    instead — call this before the first program call, or pass
+    ``compile_cache=`` to :meth:`ExportedModel.load`.
+
+    Thresholds are zeroed so even small bucket programs are cached (the
+    defaults skip compiles under 1 s, which would silently exclude tile
+    programs on fast hosts).
+    """
+    import os
+
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def _clean_config(cfg):
     """Config echo for the manifest: serializable fields only."""
     d = dataclasses.asdict(cfg)
@@ -225,10 +251,12 @@ class ExportedModel:
         self.io_dtype = manifest.get("io_dtype", "float32")
 
     @classmethod
-    def load(cls, path):
+    def load(cls, path, compile_cache=None):
         import jax
         import jax.export
 
+        if compile_cache is not None:
+            enable_compilation_cache(compile_cache)
         with zipfile.ZipFile(path, "r") as zf:
             manifest = json.loads(zf.read("manifest.json"))
             if manifest["format_version"] > FORMAT_VERSION:
@@ -387,5 +415,5 @@ def _reflect_pad(x, H, W):
     return np.pad(x, ((0, 0), (0, H - h), (0, W - w), (0, 0)), mode="reflect")
 
 
-def load_exported(path):
-    return ExportedModel.load(path)
+def load_exported(path, compile_cache=None):
+    return ExportedModel.load(path, compile_cache=compile_cache)
