@@ -43,6 +43,10 @@ def main(argv=None):
     parser.add_argument("--tile", type=int, default=0, help="tile size for tiled inference (0=off)")
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="AlexNet LPIPS state-dict path (optional)")
+    parser.add_argument("--compile_cache", type=str, default=None, metavar="DIR",
+                        help="persistent XLA compilation cache dir for .wmx "
+                             "serving: later processes skip each program's "
+                             "first-call compile (see deploy.py)")
     parser.add_argument("--no_bucket", action="store_true",
                         help="pad each image to its own 128-multiple (exact "
                         "reference padding) instead of shared size buckets; "
@@ -74,7 +78,7 @@ def main(argv=None):
         # bypassed — the artifact pads to its own exported buckets.
         from wavemamba_tpu.deploy import load_exported
 
-        artifact = load_exported(args.weight)
+        artifact = load_exported(args.weight, compile_cache=args.compile_cache)
         fwd = None
     else:
         mk = WaveMambaConfig.fast if args.fast else WaveMambaConfig
