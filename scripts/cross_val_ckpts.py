@@ -1,6 +1,7 @@
-"""Evaluate the BSRGAN-hardened checkpoint (run 005) and the run-004
-checkpoint on BOTH val distributions (proc_llie = clean low-light,
-proc_llie_bsrgan = composite degradations). CPU f32."""
+"""Cross-checkpoint validation table: every trained checkpoint on every
+val distribution (proc_llie = clean low-light, proc_llie_bsrgan =
+composite degradations, proc_llie_bsrgan_xl = run-006/007 held-out set).
+CPU f32. Checkpoints that don't exist on disk are skipped."""
 import sys, glob
 sys.path.insert(0, "/root/repo")
 import numpy as np, cv2, jax, jax.numpy as jnp
@@ -12,6 +13,7 @@ _CKPTS = {
     "004": "/root/repo/ckpt/WaveMamba_ProcLLIE_512.pth",
     "005": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN.pth",
     "006": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_12k.pth",
+    "007": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_24k.pth",
 }
 import os
 ck = {k: load_network(p) for k, p in _CKPTS.items() if os.path.exists(p)}
