@@ -133,3 +133,57 @@ def test_file_client_memcached_gated():
     if not has_client:
         with pytest.raises(ImportError, match="memcached backend requires"):
             FileClient("memcached")
+
+
+def test_color_converters_match_reference():
+    """All four MATLAB-parity color converters match the reference's
+    `basicsr/utils/matlab_functions.py:181-304` bit-for-bit on uint8 and to
+    1e-5 on float32 — including the y_only=True 2-D (HW) return shape that
+    np.dot's axis consumption produces there."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_matlab", "/root/reference/basicsr/utils/matlab_functions.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from wavemamba_tpu.utils import color
+
+    rs = np.random.RandomState(0)
+    u8 = rs.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    f32 = rs.rand(17, 23, 3).astype(np.float32)
+    # valid YCbCr inputs for the inverse direction
+    y8 = ref.rgb2ycbcr(u8)
+    yf = ref.rgb2ycbcr(f32)
+
+    for img in (u8, f32):
+        for name in ("rgb2ycbcr", "bgr2ycbcr"):
+            a = getattr(color, name)(img)
+            b = getattr(ref, name)(img)
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_allclose(a, b, atol=0 if img.dtype == np.uint8 else 2e-5)
+            ay = getattr(color, name)(img, y_only=True)
+            by = getattr(ref, name)(img, y_only=True)
+            assert ay.shape == by.shape == img.shape[:2]
+            np.testing.assert_allclose(ay, by, atol=0 if img.dtype == np.uint8 else 2e-5)
+    for img in (y8, yf):
+        for name in ("ycbcr2rgb", "ycbcr2bgr"):
+            a = getattr(color, name)(img)
+            b = getattr(ref, name)(img)
+            assert a.shape == b.shape and a.dtype == b.dtype
+            # uint8: rounding of values within 1e-3 of .5 may differ by 1 LSB
+            if img.dtype == np.uint8:
+                assert int(np.max(np.abs(a.astype(int) - b.astype(int)))) <= 1
+            else:
+                np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_to_y_channel_restores_channel_axis():
+    """to_y_channel returns HW1 float in [0, 255] (comput_psnr_ssim.py:375-385)
+    even now that bgr2ycbcr(y_only=True) returns the reference's 2-D map."""
+    from wavemamba_tpu.utils.color import to_y_channel
+
+    img = np.random.RandomState(1).randint(0, 256, (9, 11, 3)).astype(np.float64)
+    y = to_y_channel(img)
+    assert y.shape == (9, 11, 1)
+    assert 0.0 <= float(y.min()) and float(y.max()) <= 255.0

@@ -36,8 +36,10 @@ def _convert_output(img, img_type):
 def rgb2ycbcr(img, y_only=False):
     img, t = _convert_input(img)
     if y_only:
+        # np.dot semantics (matlab_functions.py:206): the channel axis is
+        # consumed, so an HWC input yields a 2-D HW map — same as the
+        # reference (to_y_channel restores the trailing axis itself).
         out = img @ _Y_COEF_RGB + 16.0
-        out = out[..., None] if out.ndim == 2 else out
     else:
         out = img @ _CBCR_RGB + np.array([16.0, 128.0, 128.0])
     return _convert_output(out, t)
