@@ -187,3 +187,29 @@ def test_to_y_channel_restores_channel_axis():
     y = to_y_channel(img)
     assert y.shape == (9, 11, 1)
     assert 0.0 <= float(y.min()) and float(y.max()) <= 255.0
+
+
+def test_check_resume_points_at_saved_snapshot_names(capsys):
+    """check_resume (misc.py:137-168 in the reference) rewrites every
+    pretrain_network_* to the resume iteration's snapshot — named as
+    save_network writes them (Orbax dir `net_g_<iter>`, no suffix) so the
+    rewritten path loads with load_network."""
+    from wavemamba_tpu.utils.misc import check_resume
+
+    opt = {
+        "path": {"models": "/exp/models", "resume_state": "/exp/states/3000",
+                 "pretrain_network_g": "ckpt/old.pth"},
+        "network_g": {"type": "WaveMamba"},
+        "network_d": {"type": "WaveMamba"},
+        "ignore_resume_networks": ["network_d"],
+    }
+    check_resume(opt, 3000)
+    assert opt["path"]["pretrain_network_g"] == "/exp/models/net_g_3000"
+    assert opt["path"].get("pretrain_network_d") is None  # ignored network
+    assert "ignored during resuming" in capsys.readouterr().out
+
+    # no resume_state -> untouched
+    opt2 = {"path": {"models": "/m", "pretrain_network_g": "keep.pth"},
+            "network_g": {}}
+    check_resume(opt2, 500)
+    assert opt2["path"]["pretrain_network_g"] == "keep.pth"

@@ -90,8 +90,12 @@ def check_resume(opt: dict, resume_iter: int):
         if opt.get("ignore_resume_networks") is None or (
             network not in opt["ignore_resume_networks"]
         ):
+            # Our snapshots are Orbax directories named `net_<x>_<iter>`
+            # (train/checkpoint.py:save_network), not the reference's
+            # `net_<x>_<iter>.pth` files — point at what save_network wrote
+            # so the result loads with load_network.
             opt["path"][name] = os.path.join(
-                opt["path"]["models"], f"net_{basename}_{resume_iter}.ckpt"
+                opt["path"]["models"], f"net_{basename}_{resume_iter}"
             )
 
 
