@@ -213,3 +213,29 @@ def test_check_resume_points_at_saved_snapshot_names(capsys):
             "network_g": {}}
     check_resume(opt2, 500)
     assert opt2["path"]["pretrain_network_g"] == "keep.pth"
+
+
+def test_profiler_trace_and_step_timer(tmp_path):
+    """Observability layer (SURVEY §5): `trace` captures a real XLA trace
+    on CPU (a *.trace.json.gz appears, consumable by scripts/trace_topops.py)
+    and StepTimer fences + summarizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavemamba_tpu.utils import profiler
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    float(f(x))  # compile outside the trace
+    with profiler.trace(str(tmp_path)):
+        with profiler.annotate("matmul_step"):
+            float(f(x))
+    import glob as g
+    assert g.glob(str(tmp_path) + "/**/*.trace.json.gz", recursive=True)
+
+    t = profiler.StepTimer()
+    for _ in range(3):
+        with t.step(result_fn=lambda: float(f(x))):
+            r = f(x)  # noqa: F841
+    s = t.summary()
+    assert s["n"] == 3 and s["min_s"] > 0 and s["p50_s"] >= s["min_s"]
