@@ -3,7 +3,7 @@
 
 Export a checkpoint to a self-contained ``.wmx`` archive::
 
-    python scripts/export_model.py export -w ckpt/WaveMamba.pth \
+    python scripts/export_model.py export -w ckpt/WaveMamba_ProcLLIE_BSRGAN_12k.pth \
         --shapes 1088x1920 768x1280 -o wavemamba_1080p.wmx --fast
 
 Serve a folder from the artifact alone (no model code is imported —
