@@ -144,12 +144,13 @@ class WaveMambaConfig:
         bf16 convs + block remat with the save_scan policy (saves the scan
         kernel's y/carries across the block remat, removing the duplicate
         scan forward from the backward pass: 0.798 -> 0.690 s/step) + bf16
-        y streaming (0.675 s/step, loss parity to 2e-6 relative). 0.675
-        s/step batch 8 @512^2 on one v5e (11.9 img/s; r2 was 0.844).
-        chunk=128 measured fastest (192: 0.869 s; 256 overflows the fused
-        backward's VMEM budget — ~10 live (T, N, 2D) f32 work arrays are
-        ~20 MB at T=256 vs the 16 MB scoped limit; 192 is ~15 MB and the
-        isolated kernel compiles there)."""
+        y streaming + the r4 h_prev elimination in the backward (one fewer
+        (T, N, 2D) f32 VMEM array). 0.661 s/step batch 8 @512^2 on one
+        v5e (12.1 img/s; r2 was 0.844, r3 0.675; loss parity 2e-6
+        relative). chunk=128 measured fastest (192 now compiles and is
+        within 0.4%; 256 still overflows the fused backward's ~16 MB
+        scoped-VMEM budget — BENCH_NOTES r4 "training-step floor" has the
+        live-array accounting)."""
         import jax
 
         try:
