@@ -13,7 +13,7 @@ _CKPTS = {
     "004": "/root/repo/ckpt/WaveMamba_ProcLLIE_512.pth",
     "005": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN.pth",
     "006": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_12k.pth",
-    "007": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_24k.pth",
+    "007": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_15k.pth",
 }
 import os
 ck = {k: load_network(p) for k, p in _CKPTS.items() if os.path.exists(p)}

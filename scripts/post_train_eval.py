@@ -12,9 +12,9 @@ they ran, BENCH_NOTES.md "run 005"/"run 006").
 
 Usage:
     PYTHONPATH= JAX_PLATFORMS=cpu python scripts/post_train_eval.py \
-        --exp experiments/007_WaveMamba_ProcLLIE_BSRGAN_24k \
-        --out ckpt/WaveMamba_ProcLLIE_BSRGAN_24k.pth \
-        --val datasets/proc_llie_bsrgan_xl/val --prefix bsrgan24k
+        --exp experiments/007_WaveMamba_ProcLLIE_BSRGAN_15k \
+        --out ckpt/WaveMamba_ProcLLIE_BSRGAN_15k.pth \
+        --val datasets/proc_llie_bsrgan_xl/val --prefix bsrgan15k
 """
 import argparse
 import glob
