@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier: pytest -m ""
+
 from wavemamba_tpu.experimental import conv_fused as cf
 from wavemamba_tpu.ops.nn import conv2d, gelu, init_conv2d, silu
 

@@ -10,6 +10,10 @@ step whose gradient all-reduce crosses the process boundary, and
 `basicsr/utils/dist_util.py:10-57` + `data_sampler.py:6-48`.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m ""
+
 import os
 import socket
 import subprocess

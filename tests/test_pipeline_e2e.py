@@ -8,6 +8,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m ""
 import yaml
 
 import cv2

@@ -180,3 +180,24 @@ def test_runner_with_art_arch(tmp_path):
                      pad_multiple=2)
     assert out.shape == (1, 16, 24, 3)
     assert np.isfinite(out).all()
+
+
+def test_key_metric_build_failure_is_fatal(tmp_path):
+    """If the key metric can't build, best-ckpt tracking would silently
+    never fire — must raise, not warn (VERDICT r4 #4; best-metric contract
+    `femasr_model.py:270-297`)."""
+    opt = _opt(tmp_path)
+    opt["val"]["key_metric"] = "lpips"
+    opt["val"]["metrics"]["lpips"] = {"type": "lpips"}  # no weights -> build fails
+    model = build_model(opt)
+    with pytest.raises(ValueError, match="key metric 'lpips'"):
+        model.validation(_fake_loader(), current_iter=1)
+
+
+def test_aux_metric_build_failure_still_warns(tmp_path, caplog):
+    """Non-key metrics keep the reference's lenient skip-and-warn behavior."""
+    opt = _opt(tmp_path)
+    opt["val"]["metrics"]["lpips"] = {"type": "lpips"}  # aux, build fails
+    model = build_model(opt)
+    avg, improved = model.validation(_fake_loader(), current_iter=1)
+    assert "psnr" in avg and "lpips" not in avg and improved

@@ -4,6 +4,10 @@ On CPU the kernel runs in interpreter mode (same program, no Mosaic); the
 real-TPU compile is exercised by bench.py / the driver's entry check.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: pytest -m ""
+
 import functools
 
 import jax

@@ -14,6 +14,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier: pytest -m ""
+
 
 def _load_smoke():
     path = os.path.join(os.path.dirname(__file__), "..", "scripts", "tpu_smoke.py")

@@ -108,7 +108,7 @@ class _TorchAlexLPIPS(nn.Module):
         return total
 
     def state_dict_lpips_style(self):
-        """Exported in the lpips-package key layout load_lpips_params reads."""
+        """torchvision-features key layout (+ top-level lin heads)."""
         sd = {}
         feat_idx = [0, 3, 6, 8, 10]
         for fi, conv in zip(feat_idx, self.convs):
@@ -117,6 +117,29 @@ class _TorchAlexLPIPS(nn.Module):
         for i, lin in enumerate(self.lins):
             sd[f"lin{i}.model.1.weight"] = lin.detach().view(-1, 1, 1, 1)
         return sd
+
+    def state_dict_lpips_package(self):
+        """EXACT `lpips.LPIPS(net='alex').state_dict()` layout: the alexnet
+        backbone is split into slice1..slice5 Sequentials that KEEP the
+        original torchvision feature indices (lpips/pretrained_networks.py
+        `alexnet.__init__` add_module(str(x), ...)), lin heads are
+        (1, C, 1, 1) conv weights, and the scaling layer is persisted."""
+        sd = {
+            "scaling_layer.shift": self.shift.detach(),
+            "scaling_layer.scale": self.scale.detach(),
+        }
+        feat_idx = [0, 3, 6, 8, 10]
+        for i, (fi, conv) in enumerate(zip(feat_idx, self.convs)):
+            sd[f"net.slice{i + 1}.{fi}.weight"] = conv.weight.detach()
+            sd[f"net.slice{i + 1}.{fi}.bias"] = conv.bias.detach()
+        for i, lin in enumerate(self.lins):
+            sd[f"lin{i}.model.1.weight"] = lin.detach().view(1, -1, 1, 1)
+        return sd
+
+    def state_dict_torchmetrics(self):
+        """torchmetrics LearnedPerceptualImagePatchSimilarity layout: the
+        whole lpips module lives under one more `net.` prefix."""
+        return {f"net.{k}": v for k, v in self.state_dict_lpips_package().items()}
 
 
 # ---------------------------------------------------------------------------
@@ -218,3 +241,40 @@ def test_lpips_matches_torch(tmp_path):
                      torch.from_numpy(y.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
     assert (ours > 0).all()
+
+def test_lpips_loader_accepts_all_real_layouts(tmp_path):
+    """De-risk the day real weights appear (VERDICT r4 #5): the loader must
+    read every layout the standard packages save — torchvision-features
+    style, the lpips package's slice layout, and torchmetrics' extra-`net.`
+    wrapping — and produce identical distances."""
+    from wavemamba_tpu.metrics.lpips import load_lpips_params, lpips
+
+    torch.manual_seed(5)
+    oracle = _TorchAlexLPIPS().eval()
+    rs = np.random.RandomState(4)
+    x = (rs.rand(1, 40, 40, 3).astype(np.float32) * 2 - 1)
+    y = np.clip(x + rs.randn(1, 40, 40, 3).astype(np.float32) * 0.2, -1, 1)
+
+    vals = {}
+    for name, sd in [
+        ("features", oracle.state_dict_lpips_style()),
+        ("lpips_pkg", oracle.state_dict_lpips_package()),
+        ("torchmetrics", oracle.state_dict_torchmetrics()),
+    ]:
+        path = tmp_path / f"{name}.pth"
+        torch.save(sd, path)
+        params = load_lpips_params(str(path))
+        assert [c["w"].shape for c in params["convs"]] == [
+            (11, 11, 3, 64), (5, 5, 64, 192), (3, 3, 192, 384),
+            (3, 3, 384, 256), (3, 3, 256, 256)]
+        assert [l.shape for l in params["lins"]] == [(64,), (192,), (384,), (256,), (256,)]
+        vals[name] = np.asarray(lpips(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_array_equal(vals["features"], vals["lpips_pkg"])
+    np.testing.assert_array_equal(vals["lpips_pkg"], vals["torchmetrics"])
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(y.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(vals["torchmetrics"], ref, rtol=1e-4, atol=1e-6)
+    # the persisted scaling layer is honored (same constants as built-ins)
+    params = load_lpips_params(str(tmp_path / "torchmetrics.pth"))
+    assert "shift" in params and "scale" in params

@@ -53,19 +53,38 @@ def init_lpips_params(key):
 
 
 def load_lpips_params(path):
-    """Load {alexnet 'features.N.weight/bias', lpips 'lin{i}.model.1.weight'}
-    from a torch state-dict (.pth) as saved by the `lpips`/torchmetrics pkgs."""
+    """Load AlexNet-LPIPS weights from a torch state-dict (.pth).
+
+    Accepts every layout the standard packages actually save
+    (`inference_wavemamba.py:16-18` uses torchmetrics' AlexNet variant):
+      * torchvision AlexNet style: ``features.{0,3,6,8,10}.weight/bias``
+        (with or without a leading ``net.``) + ``lin{i}.model.1.weight``
+      * `lpips` package (richzhang/PerceptualSimilarity)
+        ``LPIPS(net='alex').state_dict()``: ``net.slice{s}.{fi}.weight``
+        (slices keep the original torchvision indices) +
+        ``lin{i}.model.1.weight`` + ``scaling_layer.shift/scale``
+      * torchmetrics ``LearnedPerceptualImagePatchSimilarity``: the lpips
+        layout with one more ``net.`` prefix on every key
+    If the file carries ``scaling_layer.shift/scale`` they override the
+    built-in constants (they are the same values in the released weights).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    sd = {k.replace("net.slice", "slice"): v for k, v in sd.items()}
+    if any(k.startswith("net.net.slice") or k.startswith("net.lin0.") for k in sd):
+        # torchmetrics wraps the whole lpips module under one more 'net.'
+        sd = {k[len("net."):]: v for k, v in sd.items() if k.startswith("net.")}
     convs, lins = [], []
     feat_idx = [0, 3, 6, 8, 10]  # torchvision AlexNet features conv indices
     for i, fi in enumerate(feat_idx):
         w = None
-        for key in (f"net.features.{fi}.weight", f"features.{fi}.weight"):
+        for key in (
+            f"net.features.{fi}.weight",
+            f"features.{fi}.weight",
+            f"net.slice{i + 1}.{fi}.weight",
+        ):
             if key in sd:
                 w = sd[key].numpy()
                 b = sd[key.replace("weight", "bias")].numpy()
@@ -79,12 +98,18 @@ def load_lpips_params(path):
         if lw is None:
             raise KeyError(f"LPIPS linear head {i} not found in {path}")
         lins.append(jnp.asarray(lw))
-    return {"convs": convs, "lins": lins}
+    params = {"convs": convs, "lins": lins}
+    if "scaling_layer.shift" in sd:
+        params["shift"] = jnp.asarray(sd["scaling_layer.shift"].numpy().reshape(-1))
+        params["scale"] = jnp.asarray(sd["scaling_layer.scale"].numpy().reshape(-1))
+    return params
 
 
 def _features(params, x):
     """x: NHWC in [-1, 1] -> list of 5 feature maps."""
-    x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+    shift = params.get("shift", jnp.asarray(_SHIFT))
+    scale = params.get("scale", jnp.asarray(_SCALE))
+    x = (x - shift) / scale
     feats = []
     for i, ((cout, k, stride, pad), conv) in enumerate(zip(_ALEX_CONVS, params["convs"])):
         dn = lax.conv_dimension_numbers(x.shape, conv["w"].shape, ("NHWC", "HWIO", "NHWC"))

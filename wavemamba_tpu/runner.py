@@ -186,11 +186,19 @@ class RestorationModel:
         if shard_id is None:
             shard_id = jax.process_index()
         metrics = {}
+        key_metric_name = opt_val.get("key_metric")
         for name, mopt in metric_opts.items():
             mopt = dict(mopt)
             try:
                 metrics[name] = build_metric(mopt)
             except (ValueError, KeyError) as e:
+                if name == key_metric_name:
+                    # Best-model tracking hinges on this metric
+                    # (`femasr_model.py:270-297`); degrading it to a warning
+                    # would silently disable best-ckpt selection.
+                    raise ValueError(
+                        f"key metric {name!r} failed to build: {e}"
+                    ) from e
                 self.logger.warning(f"metric {name} skipped: {e}")
         results = {name: [] for name in metrics}
         t0 = time.time()
