@@ -128,6 +128,7 @@ def test_export_swaps_pallas_for_portable_lowering(tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_exported_tile_program_matches_tiled_apply(tmp_path):
     import jax
     import jax.numpy as jnp
@@ -254,6 +255,7 @@ def test_checksum_guards_weight_payload(tmp_path):
         load_exported(str(bad))
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_uint8_io_matches_save_path_quantization(tmp_path):
     """io_dtype='uint8' bakes the byte<->float conversion into the program:
     the served bytes must equal batch2img's quantization of the float

@@ -102,6 +102,7 @@ def test_loader_iteration_sharded(tmp_path):
     assert not np.array_equal(np.asarray(batches[0]["lq"]), np.asarray(batches2[0]["lq"]))
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_train_pipeline_with_device_cache(tmp_path):
     """cache_on_device engages inside train_pipeline (no host-loader
     fallback) and trains/checkpoints normally."""

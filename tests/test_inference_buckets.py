@@ -72,6 +72,7 @@ def test_inference_cli_compiles_once_per_bucket(tmp_path, capsys):
     assert line[0].startswith("jit compiles: 2 (buckets: 2)"), line[0]
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_runner_test_compiles_once_per_bucket(tmp_path):
     """The runner/test-pipeline path shares the bucket ladder (`val:
     bucket: true`): a mixed-size val folder jits once per BUCKET, not

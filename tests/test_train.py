@@ -3,6 +3,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wavemamba_tpu.models.wavemamba import WaveMambaConfig, init_wavemamba
 from wavemamba_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -56,6 +57,7 @@ def test_multistep_restart():
     np.testing.assert_allclose(float(sched(25)), 0.01, rtol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_train_step_reduces_loss():
     tcfg = TrainConfig(lr=1e-3, fft_weight=0.1)
     params = init_wavemamba(jax.random.PRNGKey(0), TINY)
@@ -71,6 +73,7 @@ def test_train_step_reduces_loss():
     assert int(state["step"]) == 9
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_train_step_sharded_matches_single():
     """Data-parallel step over an 8-device mesh must match single-device."""
     tcfg = TrainConfig(lr=1e-3, ema_decay=0.9)
@@ -94,12 +97,14 @@ def test_train_step_sharded_matches_single():
     assert "ema" in s8
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_tiled_apply_mesh_matches_single():
     """Mesh-sharded tiled inference must equal single-device tiled output."""
     from wavemamba_tpu.models import wavemamba as wm

@@ -58,6 +58,7 @@ def test_uint8_items_match_float_path(pairs):
                                atol=1e-7)
 
 
+@pytest.mark.slow  # compile-heavy; contract also covered in fast tier/dryrun
 def test_train_step_uint8_matches_float(pairs):
     from wavemamba_tpu.models.wavemamba import WaveMambaConfig, init_wavemamba
     from wavemamba_tpu.train.trainer import (
