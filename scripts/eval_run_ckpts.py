@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # yml dataroots/ckpt paths are repo-relative (reference convention)
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ap = argparse.ArgumentParser()
     ap.add_argument("exp_dir", help="experiments/<run>/ directory")
     ap.add_argument("--iters", default=None,
