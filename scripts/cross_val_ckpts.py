@@ -14,6 +14,8 @@ _CKPTS = {
     "005": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN.pth",
     "006": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_12k.pth",
     "007": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_15k.pth",
+    "008": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_XXL.pth",
+    "009": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_6K4.pth",
 }
 import os
 ck = {k: load_network(p) for k, p in _CKPTS.items() if os.path.exists(p)}
