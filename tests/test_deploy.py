@@ -293,6 +293,7 @@ def test_uint8_io_matches_save_path_quantization(tmp_path):
     assert int(np.abs(got_t.astype(int) - want_t.astype(int)).max()) <= 1
 
 
+@pytest.mark.slow  # compile-heavy; full tier
 def test_dispatch_fetch_matches_call(tmp_path):
     """ExportedModel.dispatch: two in-flight dispatches fetch the same
     results as blocking calls (the pipelined serving loop's contract)."""
@@ -336,6 +337,7 @@ def test_uint8_mesh_tile_program(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # compile-heavy; full tier
 def test_export_cli_uint8_serves_folder(tmp_path):
     """export --io uint8 -> run: bytes-only serving through the CLI."""
     from wavemamba_tpu.train.checkpoint import save_network

@@ -33,6 +33,7 @@ def test_pad_to_shape_reflect():
     np.testing.assert_array_equal(y[0, 5, :4], x[0, 3, :4])  # reflected row
 
 
+@pytest.mark.slow  # compile-heavy; full tier
 def test_inference_cli_compiles_once_per_bucket(tmp_path, capsys):
     import jax
 

@@ -2,6 +2,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wavemamba_tpu.ops.arch_util import flow_warp, trunc_normal
 from wavemamba_tpu.ops.diffjpeg import diff_jpeg
@@ -119,6 +120,7 @@ def test_conv1x1_dot_lowering_matches():
     assert y.shape == x.shape
 
 
+@pytest.mark.slow  # compile-heavy; full tier
 def test_conv1x1_as_conv_region_policy_matches():
     """`WaveMambaConfig.conv1x1_as_conv` re-expresses a region's 1x1 convs in
     conv layout (layout experiment, scripts/tpu_1x1_sweep.py) — the model
