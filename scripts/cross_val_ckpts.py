@@ -16,6 +16,8 @@ _CKPTS = {
     "007": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_15k.pth",
     "008": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_XXL.pth",
     "009": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_6K4.pth",
+    "010": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_XXL3.pth",
+    "011": "/root/repo/ckpt/WaveMamba_ProcLLIE_BSRGAN_XXL4.pth",
 }
 import os
 ck = {k: load_network(p) for k, p in _CKPTS.items() if os.path.exists(p)}
