@@ -18,3 +18,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# Persistent XLA compile cache for the suite (r5): test shapes/configs are
+# deterministic, so every rerun after the first hits the cache and the fast
+# tier drops from ~25 min of 1-core XLA compiles to a few minutes. The
+# cache dir is per-machine state, NOT committed (.gitignore).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
